@@ -1,13 +1,541 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.cells.Cells
+import graft.geom.Geom
+import graft.ops.{Canonical, KnnJoin, PipJoin, Tiling}
+import graft.pages.{Ladder, Pages}
+import graft.sim.Ann
+import graft.text.TextOps
+
+/** Driver contract — one `queries` entry per implemented operator from
+  * SURVEY.md §2, each with an equivalent DuckDB SQL oracle where the
+  * semantics are SQL-expressible. Column names/types are aligned on both
+  * sides (the driver sorts columns by name before hashing values).
+  *
+  * Parity discipline: every derivation feeding an oracle-checked query is
+  * engine-portable math — integer arithmetic, md5-derived hashes, exact IEEE
+  * ops in identical order — so Spark and DuckDB produce bit-identical values
+  * (see graft.pages.Pages / graft.text.TextOps scaladoc).
+  */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
-  def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+
+  // ------------------------------------------------------- SQL helpers
+
+  /** DuckDB mirror of TextOps.h32. */
+  private def h32sql(s: String): String = s"(('0x' || substr(md5($s), 1, 8))::BIGINT)"
+
+  private val toksCte =
+    "toks AS (SELECT *, list_filter(string_split(text, ' '), x -> x <> '') AS t FROM documents)"
+
+  /** 3-word shingles of the token list `t` (empty when < 3 tokens). */
+  private val shinglesCte =
+    "sh AS (SELECT doc_id, list_transform(range(1, len(t) - 1), i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]) AS s FROM toks)"
+
+  private def withCtes(body: String, ctes: String*): String =
+    s"WITH ${ctes.mkString(",\n")}\n$body"
+
+  private val geocellSql =
+    """CASE WHEN lat >= 0 THEN 'n' ELSE 's' END ||
+      | lpad(CAST(CAST(abs(floor(lat)) AS INT) AS VARCHAR), 2, '0') ||
+      | CASE WHEN lon >= 0 THEN 'e' ELSE 'w' END ||
+      | lpad(CAST(CAST(abs(floor(lon)) AS INT) AS VARCHAR), 3, '0')""".stripMargin
+
+  private val embCte =
+    """em AS (
+      |  SELECT vec_id,
+      |         list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS em
+      |  FROM embeddings
+      |), emn AS (
+      |  SELECT vec_id, em,
+      |         CAST(list_sum(list_transform(range(1, 65), i -> em[i] * em[i])) AS BIGINT) AS n2
+      |  FROM em
+      |)""".stripMargin
+
+  private def dotSql(a: String, b: String): String =
+    s"CAST(list_sum(list_transform(range(1, 65), i -> $a[i] * $b[i])) AS BIGINT)"
+
+  // --------------------------------------------------------- flagship
+
+  /** Flagship on sf0.001: geocode the pages, shelve them into tiles via the
+    * exactly-one PIP join, and report per-tile counts. Exercises the spine:
+    * scan → geocode → cell index → spatial join → aggregate.
+    */
+  def entry(spark: SparkSession): DataFrame = {
+    val dir = "/root/testdata/sf0.001"
+    val pts = Pages.fromDocuments(spark, dir)
+    val tiles = Pages.tiles(spark).withColumn("ring",
+      PipJoin.rectRing(col("x0"), col("y0"), col("x1"), col("y1")))
+    PipJoin.shelve(pts, tiles, "doc_id", "lon", "lat", "tile_name", "ring")
+      .groupBy("tile_name").agg(count(lit(1)).as("n_pages"))
+  }
+
+  // ---------------------------------------------------------- queries
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // --- geocoding / cell index (P12, S4-analog)
+    "q_geocode" -> ((s, dir) =>
+      Pages.fromDocuments(s, dir).select(
+        col("doc_id"), col("url"),
+        // epoch seconds, not raw timestamps: parquet timestamp physical
+        // encodings differ between engines; the instant is what matters
+        col("warc_ts").cast("long").as("warc_epoch"),
+        col("lonm"), col("latm"), col("lon"), col("lat"),
+        Cells.geocellCol(col("lon"), col("lat")).as("geocell"))),
+
+    // --- per-geocell index counts (A1 + P12; the index_setsm spine)
+    "q_geocell_counts" -> ((s, dir) =>
+      Pages.fromDocuments(s, dir)
+        .withColumn("geocell", Cells.geocellCol(col("lon"), col("lat")))
+        .groupBy("geocell").agg(
+          count(lit(1)).as("n"),
+          countDistinct(col("lang")).as("n_langs"))),
+
+    // --- scaled variant over lineitem-derived pages (shuffle discipline)
+    "q_li_geocell_counts" -> ((s, dir) =>
+      Pages.fromLineitem(s, dir)
+        .withColumn("geocell", Cells.geocellCol(col("lon"), col("lat")))
+        .groupBy("geocell").agg(count(lit(1)).as("n"))),
+
+    // --- J2: exactly-one-tile PIP shelve join
+    "q_pip_shelve" -> ((s, dir) => {
+      val pts = Pages.fromDocuments(s, dir)
+      val tiles = Pages.tiles(s).withColumn("ring",
+        PipJoin.rectRing(col("x0"), col("y0"), col("x1"), col("y1")))
+      PipJoin.shelve(pts, tiles, "doc_id", "lon", "lat", "tile_name", "ring")
+        .select(col("doc_id"), col("tile_name"))
+    }),
+
+    // --- graft kNN join: expanding-ring exact k nearest neighbors
+    "q_knn" -> ((s, dir) => {
+      val pts = Pages.fromDocuments(s, dir)
+      KnnJoin.knn(s, pts, pts, "doc_id", "doc_id", k = 5, level = 4, maxRounds = 16)
+        .withColumn("rn", col("rn").cast("long"))
+    }),
+
+    // --- tiling + per-tile coverage stats (A5/A10/A11 analog)
+    "q_tile_coverage" -> ((s, dir) =>
+      Tiling.coverageStats(Pages.fromDocuments(s, dir), step = 10)
+        .withColumn("sum_chars", col("sum_chars").cast("long"))),
+
+    // --- J3: canonical scene selection (group-max version key)
+    "q_canonical_scene" -> ((s, dir) =>
+      Canonical.sceneMaster(Ladder.scenes(s, dir))
+        .select(col("scenedemid"), col("stripdemid"), col("location"))),
+
+    // --- J5: staging dedup (anti-join + min(location||index_date))
+    "q_staging_dedup" -> ((s, dir) =>
+      Canonical.stagingDedup(Ladder.staging(s, dir), Ladder.tape(s, dir))
+        .select(col("scenedemid"), col("stripdemid"), col("is_dsp"),
+          col("location"), col("index_date"))),
+
+    // --- U1: scene_dem_all = tape UNION ALL deduped staging
+    "q_scene_all" -> ((s, dir) =>
+      Canonical.sceneAll(Ladder.tape(s, dir), Ladder.staging(s, dir))
+        .select(col("scenedemid"), col("stripdemid"), col("is_dsp"), col("location"))),
+
+    // --- J8: canonical strip (latest ver → int-array s2s max → non-LSF)
+    "q_canonical_strip" -> ((s, dir) =>
+      Canonical.stripMaster(Ladder.strips(s, dir))
+        .select(col("dem_id"), col("stripdemid"), col("s2s_ver"), col("is_lsf"))),
+
+    // --- A7: gen-time span per strip
+    "q_gentime_span" -> ((s, dir) =>
+      Canonical.gentimeSpan(Ladder.scenes(s, dir))
+        .select(col("stripdemid"), col("is_dsp"),
+          col("gen_time_min").cast("long").as("gen_min_epoch"),
+          col("gen_time_max").cast("long").as("gen_max_epoch"))),
+
+    // --- J1: broadcast region-lookup left join
+    "q_region_join" -> ((s, dir) => {
+      val pages = Pages.fromDocuments(s, dir)
+      val dim = s.read.parquet(s"$dir/nation.parquet")
+        .filter(col("n_nationkey") < 20)
+        .select(col("n_nationkey"), col("n_name").as("region_name"))
+      pages.withColumn("nk", (col("doc_id") % 25).cast("int"))
+        .join(broadcast(dim), col("nk") === col("n_nationkey"), "left")
+        .select(col("doc_id"), col("region_name"))
+    }),
+
+    // --- text: token counting
+    "q_token_count" -> ((s, dir) =>
+      TextOps.tokenCounts(s.read.parquet(s"$dir/documents.parquet"))),
+
+    // --- text: quality scoring
+    "q_quality" -> ((s, dir) =>
+      TextOps.qualityScore(s.read.parquet(s"$dir/documents.parquet"))),
+
+    // --- text: language id heuristic
+    "q_langid" -> ((s, dir) =>
+      TextOps.langId(s.read.parquet(s"$dir/documents.parquet"))),
+
+    // --- text: document fingerprint
+    "q_fingerprint" -> ((s, dir) =>
+      TextOps.fingerprint(s.read.parquet(s"$dir/documents.parquet"))),
+
+    // --- dedup: exact (hash groupBy)
+    "q_dedup_exact" -> ((s, dir) =>
+      TextOps.dedupExact(s.read.parquet(s"$dir/documents.parquet"))),
+
+    // --- dedup: MinHash LSH band signatures
+    "q_minhash_bands" -> ((s, dir) =>
+      TextOps.minhashBands(s.read.parquet(s"$dir/documents.parquet"))),
+
+    // --- dedup: SimHash signatures
+    "q_simhash" -> ((s, dir) =>
+      TextOps.simhash(s.read.parquet(s"$dir/documents.parquet"))),
+
+    // --- dedup: n-gram Jaccard near-dup pairs
+    "q_jaccard_pairs" -> ((s, dir) =>
+      TextOps.jaccardPairs(s.read.parquet(s"$dir/documents.parquet"), 0.2)),
+
+    // --- similarity: exact brute-force cosine top-k
+    "q_ann_brute" -> ((s, dir) =>
+      Ann.bruteTopK(s.read.parquet(s"$dir/embeddings.parquet"), col("vec_id") < 32, k = 5)
+        .withColumn("rn", col("rn").cast("long"))),
+
+    // --- similarity: embedding-cosine near-dup pairs
+    "q_cosine_pairs" -> ((s, dir) =>
+      Ann.cosinePairs(s.read.parquet(s"$dir/embeddings.parquet"), 0.2)),
+
+    // --- similarity: LSH bucket assignment (the scale path)
+    "q_lsh_buckets" -> ((s, dir) =>
+      Ann.lshBuckets(s.read.parquet(s"$dir/embeddings.parquet"))
+        .select(col("vec_id"), col("bucket"))),
+
+    // --- events: tumbling-window aggregation
+    "q_event_window" -> ((s, dir) =>
+      s.read.parquet(s"$dir/events.parquet")
+        .groupBy(date_trunc("hour", col("ts").cast("timestamp")).cast("long").as("hr_epoch"),
+          col("event_type"))
+        .agg(count(lit(1)).as("n"), round(sum(col("value")), 4).as("sum_value"))),
+
+    // --- events: json-ish props extraction (S11 analog)
+    "q_props_extract" -> ((s, dir) =>
+      s.read.parquet(s"$dir/events.parquet")
+        .select(col("event_id"),
+          regexp_extract(col("props"), "([0-9]+)", 1).cast("long").as("k"))),
+
+    // --- A12: rollup extent (hierarchical bbox/count roll-up)
+    "q_rollup_extent" -> ((s, dir) =>
+      Pages.fromDocuments(s, dir)
+        .rollup(col("source"), col("lang"))
+        .agg(count(lit(1)).as("n"),
+          min(col("lonm")).as("min_lonm"), max(col("lonm")).as("max_lonm"),
+          min(col("latm")).as("min_latm"), max(col("latm")).as("max_latm"))),
+
+    // --- antimeridian split (lib/utils.py:755-838 semantics)
+    "q_antimeridian" -> ((s, dir) => {
+      val splitUdf = udf((ring: Seq[Double]) =>
+        Geom.splitAntimeridian(ring.toArray).map { part =>
+          val (minx, miny, maxx, maxy) = Geom.bbox(part)
+          (if (minx < 0) "west" else "east", minx, maxx, miny, maxy)
+        })
+      val fp = Pages.fromDocuments(s, dir)
+        .withColumn("x0m", col("lonm") - 400).withColumn("x1m", col("lonm") + 400)
+        .withColumn("y0m", col("latm") - 400).withColumn("y1m", col("latm") + 400)
+        .filter(col("x1m") > 180000 || col("x0m") < -180000)
+        // wrap vertices in integer space, then build the double ring
+        .withColumn("wx0", when(col("x0m") < -180000, col("x0m") + 360000).otherwise(col("x0m")) / 1000.0)
+        .withColumn("wx1", when(col("x1m") > 180000, col("x1m") - 360000).otherwise(col("x1m")) / 1000.0)
+        .withColumn("y0", col("y0m") / 1000.0).withColumn("y1", col("y1m") / 1000.0)
+      fp.select(col("doc_id"), explode(splitUdf(array(
+          col("wx0"), col("y0"), col("wx1"), col("y0"),
+          col("wx1"), col("y1"), col("wx0"), col("y1")))).as("p"))
+        .select(col("doc_id"), col("p._1").as("part"),
+          col("p._2").as("x0"), col("p._3").as("x1"),
+          col("p._4").as("y0"), col("p._5").as("y1"))
+    }),
+
+    // --- multimodal: binary column + stub feature extraction
+    "q_mm_features" -> ((s, dir) =>
+      Pages.fromDocuments(s, dir).select(
+        col("doc_id"), col("url"),
+        length(col("html")).cast("long").as("byte_len"),
+        sha2(col("text"), 256).as("text_sha")))
+  )
+
+  // -------------------------------------------------------- oracle SQL
+
+  def oracleSql: Map[String, String] = Map(
+    "q_geocode" -> withCtes(
+      s"""SELECT doc_id, url,
+         |       1704067200 + doc_id AS warc_epoch,
+         |       lonm, latm, lon, lat, $geocellSql AS geocell
+         |FROM pages""".stripMargin, Pages.docPagesCte),
+
+    "q_geocell_counts" -> withCtes(
+      s"""SELECT $geocellSql AS geocell, CAST(count(*) AS BIGINT) AS n,
+         |       CAST(count(DISTINCT lang) AS BIGINT) AS n_langs
+         |FROM pages GROUP BY 1""".stripMargin, Pages.docPagesCte),
+
+    "q_li_geocell_counts" -> withCtes(
+      s"""SELECT $geocellSql AS geocell, CAST(count(*) AS BIGINT) AS n
+         |FROM pages GROUP BY 1""".stripMargin, Pages.lineitemPagesCte),
+
+    "q_pip_shelve" -> withCtes(
+      """SELECT doc_id, tile_name FROM (
+        |  SELECT p.doc_id, t.tile_name,
+        |         count(*) OVER (PARTITION BY p.doc_id) AS nt
+        |  FROM pages p JOIN tiles t
+        |    ON p.lon >= t.x0 AND p.lon <= t.x1 AND p.lat >= t.y0 AND p.lat <= t.y1
+        |) WHERE nt = 1""".stripMargin, Pages.docPagesCte, Pages.tilesCte),
+
+    "q_knn" -> withCtes(
+      """SELECT query_id, neighbor_id, dist2, rn FROM (
+        |  SELECT query_id, neighbor_id, dist2,
+        |         row_number() OVER (PARTITION BY query_id ORDER BY dist2, neighbor_id) AS rn
+        |  FROM (
+        |    SELECT a.doc_id AS query_id, b.doc_id AS neighbor_id,
+        |           least(abs(a.lonm - b.lonm), 360000 - abs(a.lonm - b.lonm)) *
+        |           least(abs(a.lonm - b.lonm), 360000 - abs(a.lonm - b.lonm)) +
+        |           (a.latm - b.latm) * (a.latm - b.latm) AS dist2
+        |    FROM pages a JOIN pages b ON a.doc_id <> b.doc_id
+        |  )
+        |) WHERE rn <= 5""".stripMargin, Pages.docPagesCte),
+
+    "q_tile_coverage" -> withCtes(
+      """SELECT CAST(CAST(floor(lat / 10) AS INT) AS VARCHAR) || '_' ||
+        |       CAST(CAST(floor(lon / 10) AS INT) AS VARCHAR) AS supertile,
+        |       CAST(CAST(floor((lat / 10 - floor(lat / 10)) * 2) + 1 AS INT) AS VARCHAR) || '_' ||
+        |       CAST(CAST(floor((lon / 10 - floor(lon / 10)) * 2) + 1 AS INT) AS VARCHAR) AS quartertile,
+        |       CAST(count(*) AS BIGINT) AS n_rows,
+        |       CAST(count(DISTINCT lang) AS BIGINT) AS n_langs,
+        |       CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+        |       count(*) / 25.0 AS density
+        |FROM pages GROUP BY 1, 2""".stripMargin, Pages.docPagesCte),
+
+    "q_canonical_scene" -> withCtes(
+      """SELECT a.scenedemid, a.stripdemid, a.location
+        |FROM scenes a
+        |JOIN (SELECT substr(b.stripdemid, 1, length(b.stripdemid) - 8) AS strip_nover,
+        |             max(b.stripdemid) AS strip_max, b.is_dsp
+        |      FROM (SELECT DISTINCT stripdemid, is_dsp FROM scenes) b
+        |      GROUP BY strip_nover, b.is_dsp) c
+        |  ON a.stripdemid = c.strip_max AND a.is_dsp = c.is_dsp
+        |WHERE a.is_dsp = false""".stripMargin, Ladder.scenesCte),
+
+    "q_staging_dedup" -> withCtes(
+      """SELECT scenedemid, stripdemid, is_dsp, location, index_date FROM (
+        |  SELECT s.*,
+        |         row_number() OVER (PARTITION BY s.scenedemid, s.stripdemid, s.is_dsp
+        |                            ORDER BY s.location || s.index_date) AS rn
+        |  FROM staging s
+        |  WHERE NOT EXISTS (SELECT 1 FROM tape t
+        |                    WHERE t.scenedemid = s.scenedemid
+        |                      AND t.stripdemid = s.stripdemid
+        |                      AND t.is_dsp = s.is_dsp)
+        |) WHERE rn = 1""".stripMargin, Ladder.scenesCte, Ladder.tapeCte, Ladder.stagingCte),
+
+    "q_scene_all" -> withCtes(
+      """SELECT scenedemid, stripdemid, is_dsp, location FROM tape
+        |UNION ALL
+        |SELECT scenedemid, stripdemid, is_dsp, location FROM (
+        |  SELECT s.*,
+        |         row_number() OVER (PARTITION BY s.scenedemid, s.stripdemid, s.is_dsp
+        |                            ORDER BY s.location || s.index_date) AS rn
+        |  FROM staging s
+        |  WHERE NOT EXISTS (SELECT 1 FROM tape t
+        |                    WHERE t.scenedemid = s.scenedemid
+        |                      AND t.stripdemid = s.stripdemid
+        |                      AND t.is_dsp = s.is_dsp)
+        |) WHERE rn = 1""".stripMargin, Ladder.scenesCte, Ladder.tapeCte, Ladder.stagingCte),
+
+    "q_canonical_strip" -> withCtes(
+      """SELECT dem_id, stripdemid, s2s_ver, is_lsf FROM (
+        |  SELECT *,
+        |    max(stripdemid) OVER (PARTITION BY substr(stripdemid, 1, length(stripdemid) - 8)) AS strip_max,
+        |    max(s2s_key) OVER (PARTITION BY stripdemid) AS s2s_max,
+        |    min(CAST(is_lsf AS INT)) OVER (PARTITION BY stripdemid, s2s_ver) AS min_lsf
+        |  FROM (SELECT *,
+        |          array_to_string(list_transform(string_split(s2s_ver, '.'), p -> lpad(p, 4, '0')), '.') AS s2s_key
+        |        FROM strips)
+        |) WHERE stripdemid = strip_max AND s2s_key = s2s_max AND CAST(is_lsf AS INT) = min_lsf""".stripMargin,
+      Ladder.stripsCte),
+
+    "q_gentime_span" -> withCtes(
+      """SELECT stripdemid, is_dsp,
+        |       CAST(epoch(min(least(gen_time1, gen_time2))) AS BIGINT) AS gen_min_epoch,
+        |       CAST(epoch(max(greatest(gen_time1, gen_time2))) AS BIGINT) AS gen_max_epoch
+        |FROM scenes GROUP BY stripdemid, is_dsp""".stripMargin, Ladder.scenesCte),
+
+    "q_region_join" -> withCtes(
+      """SELECT p.doc_id, d.region_name
+        |FROM pages p
+        |LEFT JOIN (SELECT n_nationkey, n_name AS region_name FROM nation
+        |           WHERE n_nationkey < 20) d
+        |  ON p.doc_id % 25 = d.n_nationkey""".stripMargin, Pages.docPagesCte),
+
+    "q_token_count" -> withCtes(
+      """SELECT doc_id, CAST(len(t) AS BIGINT) AS n_ws_tokens,
+        |       CAST(length(regexp_extract_all(text, '[a-zA-Z]+|[0-9]|[^a-zA-Z0-9 ]')) AS BIGINT) AS n_bpe_tokens
+        |FROM toks""".stripMargin, toksCte),
+
+    "q_quality" -> withCtes(
+      """SELECT *, round(stopword_ratio * 2.0 - punct_ratio * 5.0 +
+        |         CASE WHEN n_tokens >= 10 AND n_tokens <= 1000 THEN 1.0 ELSE 0.0 END, 6) AS quality_score
+        |FROM (
+        |  SELECT doc_id,
+        |    CAST(length(text) AS BIGINT) AS text_len,
+        |    CAST(len(t) AS BIGINT) AS n_tokens,
+        |    CAST(len(list_filter(t, w -> w IN ('the','a','of','and','to','in','is','on'))) AS DOUBLE) / len(t) AS stopword_ratio,
+        |    CAST(length(regexp_extract_all(text, '[^a-zA-Z0-9 ]')) AS DOUBLE) / length(text) AS punct_ratio,
+        |    CAST(length(text) - (len(t) - 1) AS DOUBLE) / len(t) AS avg_token_len
+        |  FROM toks
+        |)""".stripMargin, toksCte),
+
+    "q_langid" -> withCtes(
+      """SELECT doc_id,
+        |  CASE WHEN s_en = m AND m > 0 THEN 'en'
+        |       WHEN s_de = m AND m > 0 THEN 'de'
+        |       WHEN s_es = m AND m > 0 THEN 'es'
+        |       WHEN s_fr = m AND m > 0 THEN 'fr'
+        |       WHEN s_zh = m AND m > 0 THEN 'zh'
+        |       ELSE 'und' END AS pred_lang,
+        |  CAST(m AS BIGINT) AS score
+        |FROM (
+        |  SELECT doc_id, s_en, s_de, s_es, s_fr, s_zh,
+        |         greatest(s_en, s_de, s_es, s_fr, s_zh) AS m
+        |  FROM (
+        |    SELECT doc_id,
+        |      len(list_filter(t, w -> w IN ('the','and','of','to','is'))) AS s_en,
+        |      len(list_filter(t, w -> w IN ('der','die','und','ist','das'))) AS s_de,
+        |      len(list_filter(t, w -> w IN ('el','la','de','que','es'))) AS s_es,
+        |      len(list_filter(t, w -> w IN ('le','la','les','est','et'))) AS s_fr,
+        |      len(list_filter(t, w -> w IN ('shi','de','le','zai','he'))) AS s_zh
+        |    FROM toks
+        |  )
+        |)""".stripMargin, toksCte),
+
+    "q_fingerprint" -> withCtes(
+      s"""SELECT doc_id, md5(text) AS content_hash,
+         |       list_min(list_transform(
+         |         list_transform(range(1, len(t) - 1),
+         |                        i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]),
+         |         sg -> ${h32sql("sg")})) AS fp_min
+         |FROM toks""".stripMargin, toksCte),
+
+    "q_dedup_exact" ->
+      """SELECT doc_id, md5(text) AS content_hash,
+        |       CAST(count(*) OVER (PARTITION BY md5(text)) AS BIGINT) AS group_size,
+        |       min(doc_id) OVER (PARTITION BY md5(text)) AS canonical_id,
+        |       doc_id = min(doc_id) OVER (PARTITION BY md5(text)) AS is_canonical
+        |FROM documents""".stripMargin,
+
+    "q_minhash_bands" -> {
+      val minExprs = (0 until TextOps.NumHashes).map { j =>
+        s"min((h * ${2 * j + 1} + ${12345 * j + 7}) % ${TextOps.MinhashP}) AS mh_$j"
+      }.mkString(",\n         ")
+      val bandSelects = (0 until TextOps.NumHashes / TextOps.BandRows).map { b =>
+        val key = (0 until TextOps.BandRows)
+          .map(r => s"mh_${b * TextOps.BandRows + r}").mkString(", ")
+        s"SELECT doc_id, CAST($b AS BIGINT) AS band, concat_ws('_', $key) AS band_key FROM mh"
+      }.mkString("\nUNION ALL\n")
+      withCtes(bandSelects, toksCte, shinglesCte,
+        s"""hv AS (SELECT doc_id, ${h32sql("sg")} AS h
+           |       FROM (SELECT doc_id, unnest(s) AS sg FROM sh))""".stripMargin,
+        s"""mh AS (SELECT doc_id,
+           |         $minExprs
+           |       FROM hv GROUP BY doc_id)""".stripMargin)
+    },
+
+    "q_simhash" -> {
+      val votes = (0 until TextOps.SimhashBits)
+        .map(i => s"sum(CASE WHEN (h >> $i) & 1 = 1 THEN 1 ELSE -1 END) AS v_$i")
+        .mkString(",\n         ")
+      val sim = (0 until TextOps.SimhashBits)
+        .map(i => s"CASE WHEN v_$i > 0 THEN ${1L << i} ELSE 0 END")
+        .mkString(" + ")
+      withCtes(s"SELECT doc_id, CAST($sim AS BIGINT) AS simhash FROM v",
+        toksCte,
+        s"""hv AS (SELECT doc_id, ${h32sql("wd")} AS h
+           |       FROM (SELECT doc_id, unnest(t) AS wd FROM toks))""".stripMargin,
+        s"""v AS (SELECT doc_id,
+           |        $votes
+           |      FROM hv GROUP BY doc_id)""".stripMargin)
+    },
+
+    "q_jaccard_pairs" -> withCtes(
+      """SELECT doc_a, doc_b, n_inter,
+        |       CAST(na.n_sh AS BIGINT) AS n_a, CAST(nb.n_sh AS BIGINT) AS n_b,
+        |       CAST(n_inter AS DOUBLE) / (na.n_sh + nb.n_sh - n_inter) AS jaccard
+        |FROM pairs
+        |JOIN szs na ON na.doc_id = doc_a
+        |JOIN szs nb ON nb.doc_id = doc_b
+        |WHERE CAST(n_inter AS DOUBLE) / (na.n_sh + nb.n_sh - n_inter) >= 0.2""".stripMargin,
+      toksCte, shinglesCte,
+      "ex AS (SELECT DISTINCT doc_id, sg FROM (SELECT doc_id, unnest(s) AS sg FROM sh))",
+      "szs AS (SELECT doc_id, count(*) AS n_sh FROM ex GROUP BY doc_id)",
+      """pairs AS (
+        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, CAST(count(*) AS BIGINT) AS n_inter
+        |  FROM ex a JOIN ex b ON a.sg = b.sg AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2)""".stripMargin),
+
+    "q_ann_brute" -> withCtes(
+      s"""SELECT query_id, neighbor_id, cos_sim, rn FROM (
+         |  SELECT query_id, neighbor_id, cos_sim,
+         |         row_number() OVER (PARTITION BY query_id ORDER BY cos_sim DESC, neighbor_id) AS rn
+         |  FROM (
+         |    SELECT q.vec_id AS query_id, v.vec_id AS neighbor_id,
+         |           CAST(${dotSql("q.em", "v.em")} AS DOUBLE) /
+         |           sqrt(CAST(q.n2 * v.n2 AS DOUBLE)) AS cos_sim
+         |    FROM emn q JOIN emn v ON v.vec_id <> q.vec_id
+         |    WHERE q.vec_id < 32
+         |  )
+         |) WHERE rn <= 5""".stripMargin, embCte),
+
+    "q_cosine_pairs" -> withCtes(
+      s"""SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+         |       CAST(${dotSql("a.em", "b.em")} AS DOUBLE) /
+         |       sqrt(CAST(a.n2 * b.n2 AS DOUBLE)) AS cos_sim
+         |FROM emn a JOIN emn b ON a.vec_id < b.vec_id
+         |WHERE CAST(${dotSql("a.em", "b.em")} AS DOUBLE) /
+         |      sqrt(CAST(a.n2 * b.n2 AS DOUBLE)) >= 0.2""".stripMargin, embCte),
+
+    "q_lsh_buckets" -> {
+      val terms = (0 until Ann.NumPlanes).map { p =>
+        val comps = (0 until Ann.Dim)
+          .map(d => s"em[${d + 1}] * (${Ann.planeComponent(p, d)})").mkString(" + ")
+        s"CASE WHEN $comps > 0 THEN ${1L << p} ELSE 0 END"
+      }.mkString(" + ")
+      withCtes(s"SELECT vec_id, CAST($terms AS BIGINT) AS bucket FROM emn", embCte)
+    },
+
+    "q_event_window" ->
+      """SELECT CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS hr_epoch, event_type,
+        |       CAST(count(*) AS BIGINT) AS n, round(sum(value), 4) AS sum_value
+        |FROM events GROUP BY 1, 2""".stripMargin,
+
+    "q_props_extract" ->
+      """SELECT event_id, CAST(regexp_extract(props, '([0-9]+)', 1) AS BIGINT) AS k
+        |FROM events""".stripMargin,
+
+    "q_rollup_extent" -> withCtes(
+      """SELECT source, lang, CAST(count(*) AS BIGINT) AS n,
+        |       min(lonm) AS min_lonm, max(lonm) AS max_lonm,
+        |       min(latm) AS min_latm, max(latm) AS max_latm
+        |FROM pages GROUP BY ROLLUP(source, lang)""".stripMargin, Pages.docPagesCte),
+
+    "q_antimeridian" -> withCtes(
+      """SELECT doc_id, 'east' AS part,
+        |       CASE WHEN x1m > 180000 THEN x0m / 1000.0 ELSE (x0m + 360000) / 1000.0 END AS x0,
+        |       180.0 AS x1, y0m / 1000.0 AS y0, y1m / 1000.0 AS y1
+        |FROM fp WHERE x1m > 180000 OR x0m < -180000
+        |UNION ALL
+        |SELECT doc_id, 'west' AS part,
+        |       -180.0 AS x0,
+        |       CASE WHEN x1m > 180000 THEN (x1m - 360000) / 1000.0 ELSE x1m / 1000.0 END AS x1,
+        |       y0m / 1000.0 AS y0, y1m / 1000.0 AS y1
+        |FROM fp WHERE x1m > 180000 OR x0m < -180000""".stripMargin,
+      Pages.docPagesCte,
+      """fp AS (SELECT doc_id, lonm - 400 AS x0m, lonm + 400 AS x1m,
+        |              latm - 400 AS y0m, latm + 400 AS y1m FROM pages)""".stripMargin),
+
+    "q_mm_features" -> withCtes(
+      """SELECT doc_id, url,
+        |       CAST(octet_length(encode('<html><body>' || text || '</body></html>')) AS BIGINT) AS byte_len,
+        |       sha256(text) AS text_sha
+        |FROM pages""".stripMargin, Pages.docPagesCte)
+  )
 }

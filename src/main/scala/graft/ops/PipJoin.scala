@@ -1,0 +1,93 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.UserDefinedFunction
+import graft.cells.Cells
+import graft.geom.Geom
+
+/** Cell-partitioned point-in-polygon join.
+  *
+  * Semantics reproduce the reference's shelve join J2
+  * (/root/reference/lib/utils.py:676-702): each point is probed against the
+  * tile polygons; exactly one intersecting tile ⇒ assign, zero or more than
+  * one ⇒ the point is skipped (dropped, with a counted metric).
+  *
+  * Scale design (SURVEY.md §4 item 1): the theta join
+  * `points JOIN polys ON ST_Contains(poly, pt)` is rewritten into an
+  * **equi-join on covering cell id**:
+  *
+  *   polys  → explode(coverCells(poly, level))  [cell_id, interior, poly]
+  *   points → cellAt(pt, level)                 [cell_id, pt]
+  *   join on cell_id; refine with the exact ray-cast PIP only for boundary
+  *   cells (interior=true cells skip the test entirely — the fast path).
+  *
+  * The polygon side is tiny relative to the point side (dimension table), so
+  * Catalyst broadcasts it; at 100 TB the point side never shuffles — the join
+  * is a broadcast hash join on a long key, and hot cells cannot skew it
+  * because nothing is re-partitioned by cell. If the polygon side ever grows
+  * past broadcast size, the same frame shuffles both sides on cell_id and AQE
+  * skew-split handles hot cells (enabled in [[graft.Session]]).
+  */
+object PipJoin {
+
+  /** Ray-cast PIP on a flat-ring column (x0,y0,x1,...). Boundary = inside. */
+  val pipUdf: UserDefinedFunction =
+    udf((ring: Seq[Double], px: Double, py: Double) =>
+      Geom.contains(ring.toArray, px, py))
+
+  private val coverUdf: UserDefinedFunction =
+    udf((ring: Seq[Double], level: Int) =>
+      Cells.coverRing(ring.toArray, level).map { case (c, in) => (c, in) })
+
+  private val cellAtUdf: UserDefinedFunction =
+    udf((lon: Double, lat: Double, level: Int) => Cells.cellAt(lon, lat, level))
+
+  /** Join points (pointId, lon, lat) to polygons (polyId, ring) where the
+    * point lies in the polygon. Returns all (pointId, polyId) matches.
+    *
+    * @param level cover level; cells ≈ 360/2^level degrees wide.
+    * @param broadcastPolys force/deny broadcast; None lets Catalyst decide.
+    */
+  def join(points: DataFrame, polys: DataFrame,
+           pointId: String, lon: String, lat: String,
+           polyId: String, ring: String,
+           level: Int = 6,
+           broadcastPolys: Option[Boolean] = Some(true)): DataFrame = {
+    val covered = polys
+      .select(col(polyId), col(ring).as("__ring"))
+      .withColumn("__cov", explode(coverUdf(col("__ring"), lit(level))))
+      .select(col(polyId), col("__ring"),
+        col("__cov._1").as("__cell"), col("__cov._2").as("__interior"))
+    val polySide = broadcastPolys match {
+      case Some(true) => broadcast(covered)
+      case _          => covered
+    }
+    val pts = points.withColumn("__cell",
+      cellAtUdf(col(lon), col(lat), lit(level)))
+    pts.join(polySide, "__cell")
+      .filter(col("__interior") || pipUdf(col("__ring"), col(lon), col(lat)))
+      .drop("__cell", "__interior", "__ring")
+  }
+
+  /** The J2 shelve rule on top of [[join]]: keep only points with exactly one
+    * matching polygon (0 or >1 ⇒ skip, /root/reference/lib/utils.py:694-702).
+    * Output: one row per shelved point with its tile.
+    */
+  def shelve(points: DataFrame, polys: DataFrame,
+             pointId: String, lon: String, lat: String,
+             polyId: String, ring: String,
+             level: Int = 6): DataFrame = {
+    val matches = join(points, polys, pointId, lon, lat, polyId, ring, level)
+    // count matches per point; window avoids a second join back to points
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col(pointId))
+    matches
+      .withColumn("__n", count(lit(1)).over(w))
+      .filter(col("__n") === 1)
+      .drop("__n")
+  }
+
+  /** Rectangle ring column builder (x0,y0)-(x1,y1) as a flat ring. */
+  def rectRing(x0: Column, y0: Column, x1: Column, y1: Column): Column =
+    array(x0, y0, x1, y0, x1, y1, x0, y1)
+}

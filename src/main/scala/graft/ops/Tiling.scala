@@ -1,0 +1,67 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import graft.cells.Cells
+
+/** Raster↔vector tiling: shelve rows into the reference's tile hierarchy and
+  * materialize per-tile coverage stats (analog of per-tile density/count
+  * aggregation, /root/reference/lib/dem.py:2218-2252 & tile record stats
+  * :2008-2024, :2149-2168).
+  *
+  * Two grids:
+  *   - the exact reference grid (polar stereo / UTM 100 km supertiles +
+  *     quartertiles) via [[Cells.tileId]] — a deterministic scalar UDF;
+  *   - a pure-column "degree grid" (`dg` columns) used by the oracle-checked
+  *     queries, since transcendental projection math is not bit-reproducible
+  *     across engines (SQL floor/abs/concat only).
+  *
+  * Scale: tile assignment is a narrow map (no shuffle); the stats aggregation
+  * is one hash aggregate with map-side partial combine; writes are
+  * range-partitioned by tile id so the output layout mirrors the reference's
+  * shelf directory tree (`repartitionByRange` — SURVEY.md §4 item 3).
+  */
+object Tiling {
+
+  private val tileIdUdf = udf((lon: Double, lat: Double) => Cells.tileId(lon, lat))
+
+  /** Exact reference tile id (utm/ps supertile + quartertile). */
+  def withTileId(df: DataFrame, lon: String = "lon", lat: String = "lat"): DataFrame =
+    df.withColumn("tile_id", tileIdUdf(col(lon), col(lat)))
+
+  /** Degree-grid supertile `{r}_{c}` (step° boxes) — oracle-reproducible. */
+  def degSupertile(lon: Column, lat: Column, step: Int): Column =
+    concat(floor(lat / step).cast("int").cast("string"), lit("_"),
+      floor(lon / step).cast("int").cast("string"))
+
+  /** Degree-grid quartertile `{i}_{j}` (1-based, row-major within the tile),
+    * equal-box subdivision per attic/divide_setsm_tiles.py:231-241. */
+  def degQuartertile(lon: Column, lat: Column, step: Int): Column = {
+    val fi = (lat / step - floor(lat / step)) * 2
+    val fj = (lon / step - floor(lon / step)) * 2
+    concat((floor(fi) + 1).cast("int").cast("string"), lit("_"),
+      (floor(fj) + 1).cast("int").cast("string"))
+  }
+
+  /** Per-tile coverage stats over geocoded pages: row count, distinct langs,
+    * char sum, density = rows per square degree of the tile.
+    */
+  def coverageStats(pages: DataFrame, step: Int = 10): DataFrame = {
+    val tiled = pages
+      .withColumn("supertile", degSupertile(col("lon"), col("lat"), step))
+      .withColumn("quartertile", degQuartertile(col("lon"), col("lat"), step))
+    tiled.groupBy("supertile", "quartertile").agg(
+      count(lit(1)).as("n_rows"),
+      countDistinct(col("lang")).as("n_langs"),
+      sum(col("n_chars")).as("sum_chars"),
+      (count(lit(1)) / lit(step.toDouble * step / 4)).as("density"))
+  }
+
+  /** Shelf writer: range-partition by the shelf key then write one directory
+    * per key — the Spark materialization of the reference's
+    * link-or-copy-into-folder shelving (/root/reference/lib/utils.py:704-752).
+    */
+  def writeShelved(df: DataFrame, path: String, shelfKey: String, buckets: Int = 32): Unit =
+    df.repartitionByRange(buckets, col(shelfKey))
+      .write.mode("overwrite").partitionBy(shelfKey).parquet(path)
+}

@@ -1,0 +1,117 @@
+package graft.sim
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** Similarity search over an embedding column (`Array[Float]`).
+  *
+  * Exactness trick shared with the DuckDB oracle: embeddings are quantized
+  * to integer milli-units (`round(x·1000)::BIGINT`), dot products and norms
+  * are exact 64-bit integer sums, and cosine = dot / sqrt(na·nb) is a single
+  * correctly-rounded IEEE op — bit-identical across engines, so ordering and
+  * top-k are deterministic.
+  *
+  * Two paths:
+  *   - [[bruteTopK]]: exact baseline — broadcast the (small) query set, scan
+  *     all vectors once, window top-k. At 100 TB the scan is
+  *     embarrassingly parallel and the only shuffle is the per-query top-k
+  *     (tiny: |queries|·k rows after partial aggregation).
+  *   - [[lshBuckets]] / [[lshTopK]]: the scale path — random-hyperplane LSH
+  *     signatures (deterministic planes derived from md5) bucket vectors;
+  *     neighbor search is an equi-join on the bucket id, never all-pairs.
+  */
+object Ann {
+
+  val Dim = 64
+  val NumPlanes = 12
+
+  /** Integer milli-quantized copy of the embedding. */
+  def milli(embedding: Column): Column =
+    transform(embedding, x => round(x.cast("double") * 1000).cast("long"))
+
+  /** Exact integer dot product of two equal-length long arrays. */
+  def doti(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0L), (acc, v) => acc + v)
+
+  /** cosine(a, b) from milli vectors (na2/nb2 = precomputed self-dots). */
+  def cosine(dot: Column, na2: Column, nb2: Column): Column =
+    dot.cast("double") / sqrt((na2 * nb2).cast("double"))
+
+  private def prepared(vecs: DataFrame): DataFrame =
+    vecs.select(col("vec_id"), milli(col("embedding")).as("em"))
+      .withColumn("n2", doti(col("em"), col("em")))
+
+  /** Exact cosine top-k: `queries` (filtered subset of vecs) vs all vectors.
+    * Returns (query_id, neighbor_id, cos_sim, rn).
+    */
+  def bruteTopK(vecs: DataFrame, queryPred: Column, k: Int): DataFrame = {
+    val all = prepared(vecs)
+    val q = all.filter(queryPred)
+      .select(col("vec_id").as("query_id"), col("em").as("qem"), col("n2").as("qn2"))
+    val joined = all.crossJoin(broadcast(q))
+      .filter(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        cosine(doti(col("qem"), col("em")), col("qn2"), col("n2")).as("cos_sim"))
+    val w = Window.partitionBy("query_id").orderBy(col("cos_sim").desc, col("neighbor_id"))
+    joined.withColumn("rn", row_number().over(w)).filter(col("rn") <= k)
+  }
+
+  /** Embedding-cosine near-duplicate pairs above a similarity threshold
+    * (a < b). Brute variant for oracle parity; the LSH bucket join is the
+    * 100 TB path.
+    */
+  def cosinePairs(vecs: DataFrame, threshold: Double): DataFrame = {
+    val all = prepared(vecs)
+    val a = all.select(col("vec_id").as("id_a"), col("em").as("em_a"), col("n2").as("n2_a"))
+    val b = all.select(col("vec_id").as("id_b"), col("em").as("em_b"), col("n2").as("n2_b"))
+    a.crossJoin(b).filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        cosine(doti(col("em_a"), col("em_b")), col("n2_a"), col("n2_b")).as("cos_sim"))
+      .filter(col("cos_sim") >= threshold)
+  }
+
+  /** Deterministic hyperplane component p,d ∈ [-1000, 1000]:
+    * `h32('plane-' || p || '-' || d) % 2001 - 1000`, evaluated eagerly on
+    * the driver (same md5 math the oracle SQL uses) so the bucket expression
+    * is pure integer literals.
+    */
+  def planeComponent(p: Int, d: Int): Long = {
+    val digest = java.security.MessageDigest.getInstance("MD5")
+      .digest(s"plane-$p-$d".getBytes("UTF-8"))
+    val hex = digest.take(4).map(b => f"$b%02x").mkString
+    java.lang.Long.parseLong(hex, 16) % 2001 - 1000
+  }
+
+  /** Signed random-hyperplane LSH bucket id (NumPlanes sign bits). The plane
+    * matrix is a compile-time constant folded into the expression — no
+    * broadcast needed.
+    */
+  def lshBuckets(vecs: DataFrame): DataFrame = {
+    val all = prepared(vecs)
+    // fold the plane dot products as column expressions over the milli array
+    val bucket = (0 until NumPlanes).map { p =>
+      val planeArr = array((0 until Dim).map(d => lit(planeComponent(p, d))): _*)
+      val dot = doti(col("em"), planeArr)
+      when(dot > 0, lit(1L << p)).otherwise(lit(0L))
+    }.reduce(_ + _)
+    all.withColumn("bucket", bucket)
+  }
+
+  /** ANN top-k within LSH bucket (the scale path; recall < 1 by design).
+    * Returns (query_id, neighbor_id, cos_sim, rn) for neighbors sharing the
+    * query's bucket.
+    */
+  def lshTopK(vecs: DataFrame, queryPred: Column, k: Int): DataFrame = {
+    val all = lshBuckets(vecs)
+    val q = all.filter(queryPred)
+      .select(col("vec_id").as("query_id"), col("em").as("qem"),
+        col("n2").as("qn2"), col("bucket").as("qbucket"))
+    val joined = all.join(q, col("bucket") === col("qbucket")
+        && col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        cosine(doti(col("qem"), col("em")), col("qn2"), col("n2")).as("cos_sim"))
+    val w = Window.partitionBy("query_id").orderBy(col("cos_sim").desc, col("neighbor_id"))
+    joined.withColumn("rn", row_number().over(w)).filter(col("rn") <= k)
+  }
+}

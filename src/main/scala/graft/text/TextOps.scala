@@ -1,0 +1,216 @@
+package graft.text
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** Large-scale training-data text operators over the documents/pages table:
+  * tokenization, quality scoring, language ID, fingerprinting, and the
+  * dedup family (exact, MinHash signature, SimHash, n-gram Jaccard).
+  *
+  * Every computation uses only engine-portable primitives (md5-derived
+  * integer hashes, array lambdas, integer modular arithmetic) so the DuckDB
+  * oracle reproduces results bit-for-bit. All heavy paths are
+  * whole-stage-codegen'd column expressions — no Scala UDFs.
+  *
+  * Scale notes per operator are on the methods; the common theme: per-row
+  * array lambdas are narrow (no shuffle), dedup groupings shuffle once on a
+  * hash key which is uniform by construction (md5), so no skew handling is
+  * needed beyond AQE.
+  */
+object TextOps {
+
+  /** Non-empty whitespace tokens of a text column. */
+  def tokens(text: Column): Column =
+    filter(split(text, " "), w => w =!= "")
+
+  /** First-32-bits-of-md5 as a positive long — the portable string hash
+    * (DuckDB: ('0x' || substr(md5(s),1,8))::BIGINT).
+    */
+  def h32(s: Column): Column =
+    conv(substring(md5(s), 1, 8), 16, 10).cast("long")
+
+  /** Word n-gram shingles as an array column (n consecutive tokens joined by
+    * a single space). Rows with fewer than n tokens get an empty array.
+    */
+  def shingles(toks: Column, n: Int): Column = {
+    val idxs = when(size(toks) >= n, sequence(lit(1), size(toks) - (n - 1)))
+      .otherwise(array().cast("array<int>"))
+    transform(idxs, i =>
+      concat_ws(" ", (0 until n).map(o => element_at(toks, i + o)): _*))
+  }
+
+  /** Token counting: whitespace tokens + BPE-ish regex pieces
+    * (letter runs / digit runs / single punctuation).
+    */
+  def tokenCounts(docs: DataFrame): DataFrame =
+    docs.select(
+      col("doc_id"),
+      size(tokens(col("text"))).cast("long").as("n_ws_tokens"),
+      regexp_count(col("text"), lit("[a-zA-Z]+|[0-9]|[^a-zA-Z0-9 ]"))
+        .cast("long").as("n_bpe_tokens"))
+
+  private val StopWords = Seq("the", "a", "of", "and", "to", "in", "is", "on")
+
+  /** Quality scoring: length, token stats, stopword ratio, punctuation
+    * ratio, and a composite score (the length/punct/stopword heuristic
+    * family used by web-corpus quality filters).
+    */
+  def qualityScore(docs: DataFrame): DataFrame = {
+    val toks = tokens(col("text"))
+    val nTok = size(toks)
+    val nStop = size(filter(toks, w => w.isin(StopWords: _*)))
+    val nPunct = regexp_count(col("text"), lit("[^a-zA-Z0-9 ]"))
+    val textLen = length(col("text"))
+    docs.select(
+      col("doc_id"),
+      textLen.cast("long").as("text_len"),
+      nTok.cast("long").as("n_tokens"),
+      (nStop.cast("double") / nTok).as("stopword_ratio"),
+      (nPunct.cast("double") / textLen).as("punct_ratio"),
+      ((textLen - (nTok - 1)).cast("double") / nTok).as("avg_token_len"))
+      .withColumn("quality_score",
+        round(col("stopword_ratio") * 2.0 - col("punct_ratio") * 5.0
+          + when(col("n_tokens") >= 10 && col("n_tokens") <= 1000, 1.0).otherwise(0.0), 6))
+  }
+
+  /** Language-ID heuristic: score each candidate language by its marker-word
+    * hit count over the token list; argmax with fixed tie-break order.
+    * (An n-gram/stopword profile classifier — the classic heuristic.)
+    */
+  def langId(docs: DataFrame): DataFrame = {
+    val profiles: Seq[(String, Seq[String])] = Seq(
+      "en" -> Seq("the", "and", "of", "to", "is"),
+      "de" -> Seq("der", "die", "und", "ist", "das"),
+      "es" -> Seq("el", "la", "de", "que", "es"),
+      "fr" -> Seq("le", "la", "les", "est", "et"),
+      "zh" -> Seq("shi", "de", "le", "zai", "he"))
+    val toks = tokens(col("text"))
+    val scored = docs.select(col("doc_id") +: profiles.map { case (l, ws) =>
+      size(filter(toks, w => w.isin(ws: _*))).as(s"s_$l")
+    }: _*)
+    // argmax via greatest + when-chain; leftmost language wins ties,
+    // all-zero -> 'und'
+    val maxScore = greatest(profiles.map(p => col(s"s_${p._1}")): _*)
+    val predLtr = profiles.foldLeft(Option.empty[Column]) {
+      case (None, (l, _)) => Some(when(col(s"s_$l") === maxScore && maxScore > 0, lit(l)))
+      case (Some(c), (l, _)) => Some(c.when(col(s"s_$l") === maxScore && maxScore > 0, lit(l)))
+    }.get.otherwise(lit("und"))
+    scored.select(col("doc_id"), predLtr.as("pred_lang"),
+      maxScore.cast("long").as("score"))
+  }
+
+  /** Document fingerprint: full-content md5 plus the minimum 3-shingle hash
+    * (a 1-permutation MinHash — the rolling-hash fingerprint analog).
+    */
+  def fingerprint(docs: DataFrame): DataFrame = {
+    val sh = shingles(tokens(col("text")), 3)
+    docs.select(
+      col("doc_id"),
+      md5(col("text")).as("content_hash"),
+      array_min(transform(sh, s => h32(s))).as("fp_min"))
+  }
+
+  /** Exact dedup: canonical row per identical text (hash-groupBy; group by
+    * md5 so 100 TB shuffles 16-byte keys, not page bodies). Keeps the min
+    * doc_id per group — one window, no self-join.
+    */
+  def dedupExact(docs: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col("content_hash"))
+    docs.select(col("doc_id"), md5(col("text")).as("content_hash"))
+      .withColumn("group_size", count(lit(1)).over(w))
+      .withColumn("canonical_id", min(col("doc_id")).over(w))
+      .withColumn("is_canonical", col("doc_id") === col("canonical_id"))
+  }
+
+  val MinhashP = 1000000007L
+  val NumHashes = 16
+  val BandRows = 4
+
+  /** MinHash signatures over 3-word shingles: NumHashes permutations
+    * `(a_j·h + b_j) mod P` with a_j = 2j+1, b_j = 12345j+7, banded into
+    * NumHashes/BandRows LSH bands. Output: one row per (doc, band) with the
+    * band key — equi-joinable to find near-dup candidates (shingle →
+    * minhash → band → bucket-join).
+    *
+    * Scale: signatures are computed per-row with array lambdas (narrow);
+    * the bucket join shuffles on (band, key) which is md5-uniform.
+    */
+  def minhashBands(docs: DataFrame): DataFrame = {
+    val sh = shingles(tokens(col("text")), 3)
+    val hs = transform(sh, s => h32(s))
+    val mins = (0 until NumHashes).map { j =>
+      array_min(transform(hs, h => (h * (2 * j + 1) + (12345 * j + 7)) % MinhashP))
+        .as(s"mh_$j")
+    }
+    val sig = docs.select(col("doc_id") +: mins: _*)
+    val bands = (0 until NumHashes / BandRows).map { b =>
+      struct(lit(b).as("band"),
+        concat_ws("_", (0 until BandRows).map(r => col(s"mh_${b * BandRows + r}")): _*).as("band_key"))
+    }
+    sig.select(col("doc_id"), explode(array(bands: _*)).as("bk"))
+      .select(col("doc_id"), col("bk.band").cast("long").as("band"),
+        col("bk.band_key").as("band_key"))
+  }
+
+  /** Near-dup candidate pairs from the MinHash bands (a < b, distinct). */
+  def minhashPairs(docs: DataFrame): DataFrame = {
+    val bands = minhashBands(docs)
+    val a = bands.as("a"); val b = bands.as("b")
+    a.join(b, col("a.band") === col("b.band") && col("a.band_key") === col("b.band_key")
+      && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .distinct()
+  }
+
+  val SimhashBits = 24
+
+  /** SimHash: per-token 32-bit hash, per-bit ±1 votes summed over the
+    * document, sign → bit. Duplicate tokens vote once per occurrence.
+    * Output (doc_id, simhash).
+    */
+  def simhash(docs: DataFrame): DataFrame = {
+    val hs = transform(tokens(col("text")), w => h32(w))
+    val bitCols = (0 until SimhashBits).map { i =>
+      aggregate(hs, lit(0L),
+        (acc, h) => acc + when(shiftright(h, i).bitwiseAND(1) === 1, 1L).otherwise(-1L))
+        .as(s"v_$i")
+    }
+    val voted = docs.select(col("doc_id") +: bitCols: _*)
+    val sim = (0 until SimhashBits).map { i =>
+      when(col(s"v_$i") > 0, lit(1L << i)).otherwise(lit(0L))
+    }.reduce(_ + _)
+    voted.select(col("doc_id"), sim.as("simhash"))
+  }
+
+  /** N-gram Jaccard near-dup pairs: distinct 3-shingles per doc, candidate
+    * pairs = docs sharing >= 1 shingle, Jaccard = |∩| / |∪| with a
+    * threshold. One shuffle on shingle hash (uniform), one pair aggregate.
+    *
+    * Scale: the shingle self-join explodes on ultra-common shingles; cap
+    * candidate generation by dropping shingles shared by more than
+    * `maxShingleDf` docs (standard df-cut used by near-dup pipelines —
+    * ultra-common shingles carry no discriminative signal).
+    */
+  def jaccardPairs(docs: DataFrame, threshold: Double = 0.2,
+                   maxShingleDf: Int = 1000): DataFrame = {
+    val withSh = docs.select(col("doc_id"),
+      array_distinct(shingles(tokens(col("text")), 3)).as("sh"))
+      .withColumn("n_sh", size(col("sh")))
+    val exploded = withSh.select(col("doc_id"), col("n_sh"), explode(col("sh")).as("s"))
+    val dfCut = Window.partitionBy(col("s"))
+    val pruned = exploded.withColumn("__df", count(lit(1)).over(dfCut))
+      .filter(col("__df") <= maxShingleDf).drop("__df")
+    val a = pruned.as("a"); val b = pruned.as("b")
+    a.join(b, col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+        col("a.n_sh").as("n_a"), col("b.n_sh").as("n_b"))
+      .agg(count(lit(1)).as("n_inter"))
+      .withColumn("jaccard",
+        col("n_inter").cast("double") / (col("n_a") + col("n_b") - col("n_inter")))
+      .filter(col("jaccard") >= threshold)
+      .select(col("doc_a"), col("doc_b"), col("n_inter"),
+        col("n_a").cast("long").as("n_a"), col("n_b").cast("long").as("n_b"),
+        col("jaccard"))
+  }
+}
