@@ -110,7 +110,7 @@ object SparkEntry {
     // --- graft kNN join: expanding-ring exact k nearest neighbors
     "q_knn" -> ((s, dir) => {
       val pts = Pages.fromDocuments(s, dir)
-      KnnJoin.knn(s, pts, pts, "doc_id", "doc_id", k = 5, level = 4, maxRounds = 16)
+      KnnJoin.knn(s, pts, pts, "doc_id", "doc_id", k = 5, level = 4)
         .withColumn("rn", col("rn").cast("long"))
     }),
 
@@ -253,7 +253,55 @@ object SparkEntry {
       Pages.fromDocuments(s, dir).select(
         col("doc_id"), col("url"),
         length(col("html")).cast("long").as("byte_len"),
-        sha2(col("text"), 256).as("text_sha")))
+        sha2(col("text"), 256).as("text_sha"))),
+
+    // --- multimodal: batched stub decode over the binary column
+    "q_mm_decode" -> ((s, dir) =>
+      graft.mm.Multimodal.decodeBatches(s, Pages.fromDocuments(s, dir))
+        .toDF().select(col("url"), col("byte_len"), col("kind"),
+          col("width").cast("long").as("width"),
+          col("height").cast("long").as("height"))),
+
+    // --- J9/A12: STAC-analog item documents + catalog tree rollup
+    "q_stac_items" -> ((s, dir) =>
+      graft.ops.StacDocs.itemDocs(Pages.fromDocuments(s, dir))),
+
+    "q_stac_tree" -> ((s, dir) =>
+      graft.ops.StacDocs.treeRollup(Pages.fromDocuments(s, dir))),
+
+    // --- O5: zero-padded version keys + s2s release mapping
+    "q_verkey" -> ((s, dir) => {
+      val o = s.read.parquet(s"$dir/orders.parquet")
+      val semver = concat((lit(3) + col("o_orderkey") % 2).cast("string"), lit("."),
+        (col("o_orderkey") % 5).cast("string"), lit("."),
+        (col("o_orderkey") % 11).cast("string"))
+      val s2s = when(col("o_orderkey") % 4 === 0, "3")
+        .when(col("o_orderkey") % 4 === 1, "4")
+        .when(col("o_orderkey") % 4 === 2, "4.2").otherwise("4.10")
+      o.select(col("o_orderkey").as("okey"),
+        graft.parse.Versions.verkeyCol(semver).as("verkey"),
+        graft.parse.Versions.s2sReleaseCol(s2s).as("release_ver"))
+    }),
+
+    // --- P7: dsp dual-record expansion (1 or 2 records per scene)
+    "q_dsp_expand" -> ((s, dir) =>
+      Ladder.scenes(s, dir)
+        .withColumn("rec_mode", explode(array(lit("dsp"), lit("orig"))))
+        .filter(col("rec_mode") === "dsp" || col("is_dsp"))
+        .withColumn("status",
+          when(col("rec_mode") === "orig", "tape").otherwise("online"))
+        .select(col("scenedemid"), col("stripdemid"), col("rec_mode"), col("status"))),
+
+    // --- P11: release-fields projection (rename + drop)
+    "q_release_fields" -> ((s, dir) =>
+      Ladder.strips(s, dir)
+        .withColumn("GSD", lit(2.0))
+        .select(col("dem_id").as("DEM_ID"), col("stripdemid").as("STRIPDEMID"),
+          col("GSD"), graft.parse.Versions.s2sReleaseCol(col("s2s_ver")).as("RELEASEVER"))),
+
+    // --- A8: DISTINCT projection
+    "q_distinct_strips" -> ((s, dir) =>
+      Ladder.scenes(s, dir).select("stripdemid", "is_dsp").distinct())
   )
 
   // -------------------------------------------------------- oracle SQL
@@ -536,6 +584,66 @@ object SparkEntry {
       """SELECT doc_id, url,
         |       CAST(octet_length(encode('<html><body>' || text || '</body></html>')) AS BIGINT) AS byte_len,
         |       sha256(text) AS text_sha
-        |FROM pages""".stripMargin, Pages.docPagesCte)
+        |FROM pages""".stripMargin, Pages.docPagesCte),
+
+    // html is the UTF-8 encoding of the wrapper string, so md5(string) here
+    // equals Spark's md5(binary html); digest byte i = hex chars 2i+1..2i+2
+    "q_mm_decode" -> withCtes(
+      """SELECT url,
+        |       CAST(octet_length(encode(h)) AS BIGINT) AS byte_len,
+        |       'html' AS kind,
+        |       64 + ('0x' || substr(md5(h), 17, 2))::BIGINT % 64 AS width,
+        |       64 + ('0x' || substr(md5(h), 19, 2))::BIGINT % 64 AS height
+        |FROM (SELECT url, '<html><body>' || text || '</body></html>' AS h FROM pages)""".stripMargin,
+      Pages.docPagesCte),
+
+    "q_stac_items" -> withCtes(
+      s"""SELECT doc_id,
+         |  concat_ws('/', 'webdem', 'strips', 's2s041', '2m', $geocellSql,
+         |            CAST(doc_id AS VARCHAR) || '.json') AS item_key,
+         |  to_json(struct_pack(id := url, type := 'Feature',
+         |                      geocell := $geocellSql,
+         |                      lonm := lonm, latm := latm, lang := lang)) AS doc
+         |FROM pages""".stripMargin, Pages.docPagesCte),
+
+    "q_stac_tree" -> withCtes(
+      s"""SELECT domain, kind, release, res, geocell,
+         |       CAST(count(*) AS BIGINT) AS n_items,
+         |       min(lonm) AS x0, min(latm) AS y0, max(lonm) AS x1, max(latm) AS y1
+         |FROM (SELECT 'webdem' AS domain, 'strips' AS kind, 's2s041' AS release,
+         |             '2m' AS res, $geocellSql AS geocell, lonm, latm FROM pages)
+         |GROUP BY ROLLUP(domain, kind, release, res, geocell)""".stripMargin,
+      Pages.docPagesCte),
+
+    "q_verkey" ->
+      """SELECT o_orderkey AS okey,
+        |  'v' || lpad(CAST(3 + o_orderkey % 2 AS VARCHAR), 2, '0') ||
+        |         lpad(CAST(o_orderkey % 5 AS VARCHAR), 2, '0') ||
+        |         lpad(CAST(o_orderkey % 11 AS VARCHAR), 2, '0') AS verkey,
+        |  's2s' || lpad(string_split(s2s, '.')[1], 2, '0') ||
+        |           coalesce(string_split(s2s, '.')[2], '0') AS release_ver
+        |FROM (SELECT o_orderkey,
+        |        CASE WHEN o_orderkey % 4 = 0 THEN '3'
+        |             WHEN o_orderkey % 4 = 1 THEN '4'
+        |             WHEN o_orderkey % 4 = 2 THEN '4.2' ELSE '4.10' END AS s2s
+        |      FROM orders)""".stripMargin,
+
+    "q_dsp_expand" -> withCtes(
+      """SELECT scenedemid, stripdemid, rec_mode,
+        |       CASE WHEN rec_mode = 'orig' THEN 'tape' ELSE 'online' END AS status
+        |FROM (
+        |  SELECT scenedemid, stripdemid, is_dsp, 'dsp' AS rec_mode FROM scenes
+        |  UNION ALL
+        |  SELECT scenedemid, stripdemid, is_dsp, 'orig' AS rec_mode FROM scenes
+        |) WHERE rec_mode = 'dsp' OR is_dsp""".stripMargin, Ladder.scenesCte),
+
+    "q_release_fields" -> withCtes(
+      """SELECT dem_id AS "DEM_ID", stripdemid AS "STRIPDEMID", 2.0 AS "GSD",
+        |       's2s' || lpad(string_split(s2s_ver, '.')[1], 2, '0') ||
+        |                coalesce(string_split(s2s_ver, '.')[2], '0') AS "RELEASEVER"
+        |FROM strips""".stripMargin, Ladder.stripsCte),
+
+    "q_distinct_strips" -> withCtes(
+      "SELECT DISTINCT stripdemid, is_dsp FROM scenes", Ladder.scenesCte)
   )
 }

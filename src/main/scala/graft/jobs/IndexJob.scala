@@ -1,0 +1,95 @@
+package graft.jobs
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.cells.Cells
+import graft.pages.Pages
+import graft.table.{Icelite, Pipeline}
+
+/** The flagship lifecycle of the reference
+  * (/root/reference/index_setsm.py, traced in SURVEY.md §3.1) re-expressed
+  * as a resumable Spark pipeline over Icelite snapshots:
+  *
+  *   scan → parse/geocode → enrich (status, custom path, record id) →
+  *   region join (J1) → width-validate (P6) with observed metrics (A13) →
+  *   group/write snapshot (A1/S12) → read-back check (J11)
+  *
+  * Each stage commits an Icelite snapshot keyed by an input fingerprint, so
+  * a killed run resumes from the last committed stage (north rule:
+  * "resumable from checkpoint with per-partition lineage + metrics").
+  */
+object IndexJob {
+
+  /** P8 — status derivation (index_setsm.py:525-532,646): explicit arg wins,
+    * 'tape' for BP locations, else 'online'.
+    */
+  def statusCol(location: Column, statusArg: Option[String]): Column =
+    statusArg.map(lit).getOrElse(
+      when(location.startsWith("/mnt/pgc/tape"), "tape").otherwise("online"))
+
+  /** P9 — custom-path projection (index_setsm.py:715-781): BP/PGC location
+    * templates from id substrings (sensor = chars 1-4, year = 6-9,
+    * month = 10-11 of the pairname-like key).
+    */
+  def customPathCol(pairname: Column): Column =
+    concat_ws("/", lit(""), lit("pgc"),
+      substring(pairname, 1, 4), substring(pairname, 6, 4), substring(pairname, 10, 2),
+      pairname)
+
+  /** P13 — record-id projection (index_setsm.py:56-63): pipe-joined identity
+    * used for dedup + the --check verification.
+    */
+  def recordIdCol(cols: Column*): Column = concat_ws("|", cols: _*)
+
+  /** P6 — field-width validation (index_setsm.py:1099-1116): rows whose
+    * string field exceeds the declared layer width are skipped, counted via
+    * observed metrics (A13's invalid_record_cnt as df.observe, SURVEY §4).
+    */
+  def validateWidths(df: DataFrame, widths: Map[String, Int]): DataFrame = {
+    val ok = widths.map { case (c, w) => length(col(c)) <= w }.reduce(_ && _)
+    df.observe("index_metrics",
+        sum(when(!ok, 1L).otherwise(0L)).as("invalid_record_cnt"),
+        count(lit(1)).as("total_record_cnt"))
+      .filter(ok)
+  }
+
+  /** The index row projection: web page → index record (the graft analog of
+    * SCENE_ATTRIBUTE_DEFINITIONS, lib/utils.py:329-374 — identity key, group
+    * key, centroid, cells, status, location, index date).
+    */
+  def indexRows(pages: DataFrame): DataFrame = {
+    val cellUdf = udf((lon: Double, lat: Double) => Cells.cellAt(lon, lat, 12))
+    pages.select(
+      col("url"),
+      col("doc_id"),
+      recordIdCol(col("url"), col("lang"), col("doc_id")).as("record_id"),
+      col("lon"), col("lat"),
+      Cells.geocellCol(col("lon"), col("lat")).as("geocell"),
+      cellUdf(col("lon"), col("lat")).as("cell_id"),
+      customPathCol(concat(col("lang"), lit("_"), col("url"))).as("location"),
+      col("lang"), col("source"),
+      sha2(col("text"), 256).as("text_sha"),
+      current_date().cast("string").as("index_date"))
+      .withColumn("status", statusCol(col("location"), None))
+  }
+
+  /** Run the full job; returns (rows indexed, check diff count — 0 = pass). */
+  def run(spark: SparkSession, sfDir: String, workRoot: String): (Long, Long) = {
+    val pipe = new Pipeline(spark, workRoot)
+    val fp = s"pages:$sfDir"
+
+    val pages = pipe.stage("pages", fp) { Pages.fromDocuments(spark, sfDir) }
+    val index = pipe.stage("index", fp) {
+      validateWidths(indexRows(pages), Map("url" -> 256, "geocell" -> 7, "record_id" -> 512))
+    }
+    val counts = pipe.stage("geocell_counts", fp) {
+      index.groupBy("geocell").agg(count(lit(1)).as("n"))
+    }
+    counts.count() // materialize
+    // J11 --check: committed snapshot vs recomputed projection
+    val diff = Icelite.check(spark,
+      validateWidths(indexRows(pages), Map("url" -> 256, "geocell" -> 7, "record_id" -> 512)),
+      s"$workRoot/index", "record_id")
+    (Icelite.read(spark, s"$workRoot/index").count(), diff)
+  }
+}

@@ -33,8 +33,10 @@ import graft.cells.Cells
   */
 object KnnJoin {
 
-  private val diskUdf = udf((cell: Long, r: Int) => Cells.diskK(cell, r))
-  private val ringUdf = udf((cell: Long, r: Int) => Cells.ringK(cell, r))
+  /** Cells with Chebyshev distance in (lo, hi] of the given cell — the slab
+    * explored in one round under geometric radius escalation. */
+  private val ringRangeUdf = udf((cell: Long, lo: Int, hi: Int) =>
+    ((lo + 1) to hi).flatMap(Cells.ringK(cell, _)).toArray)
   private val cellAtUdf = udf((lon: Double, lat: Double, level: Int) => Cells.cellAt(lon, lat, level))
 
   /** Squared lon-wrapped millidegree distance as a column expression. */
@@ -53,8 +55,7 @@ object KnnJoin {
     */
   def knn(spark: SparkSession, queries: DataFrame, points: DataFrame,
           qId: String, pId: String, k: Int, level: Int = 6,
-          maxRounds: Int = 12): DataFrame = {
-    import spark.implicits._
+          maxRounds: Int = 3): DataFrame = {
     val cellH = 180000L >> level // cell height in millidegrees (lat axis)
 
     val pts = points
@@ -66,15 +67,20 @@ object KnnJoin {
     var remaining = queries
       .select(col(qId).as("query_id"), col("lonm").as("q_lonm"), col("latm").as("q_latm"))
       .withColumn("__qcell", cellAtUdf(col("q_lonm") / 1000.0, col("q_latm") / 1000.0, lit(level)))
-    var acc: DataFrame = null // best-k so far for finished queries
-    var carry: DataFrame = null // candidates of unfinished queries
+    val finishedParts = scala.collection.mutable.ArrayBuffer[DataFrame]()
+    var carry: DataFrame = null // best-k-so-far of unfinished queries
+    // geometric radius escalation (x4): the explored disk radius grows
+    // 1 -> 4 -> 16 -> ..., so sparse regions converge in O(log4 gridSize)
+    // driver rounds; queries that exhaust the round budget fall through to
+    // an exact brute-force pass (rare stragglers only)
+    var prevR = -1 // round 1 explores the home cell plus ring 1
     var r = 1
+    var rounds = 0
     var done = false
 
-    while (!done && r <= maxRounds) {
-      // cells newly explored this round (disk for round 1, ring r after)
-      val cellsCol = if (r == 1) diskUdf(col("__qcell"), lit(1)) else ringUdf(col("__qcell"), lit(r))
-      val probes = remaining.withColumn("__cell", explode(cellsCol))
+    while (!done && rounds < maxRounds) {
+      val probes = remaining.withColumn("__cell",
+        explode(ringRangeUdf(col("__qcell"), lit(prevR), lit(r))))
       val fresh = probes.join(pts, col("__cell") === col("__pcell"))
         .filter(col("query_id") =!= col("neighbor_id"))
         .select(col("query_id"), col("q_lonm"), col("q_latm"), col("__qcell"),
@@ -85,37 +91,48 @@ object KnnJoin {
       val topk = cand0
         .withColumn("rn", row_number().over(w))
         .filter(col("rn") <= k)
-      // termination bound: k-th distance within the guaranteed-searched radius
-      val bound = lit((r * cellH) * (r * cellH))
-      val stats = topk.groupBy("query_id", "q_lonm", "q_latm", "__qcell")
-        .agg(count(lit(1)).as("nc"), max(col("d2")).as("kth"))
-        .withColumn("__done", col("nc") >= k && col("kth") <= bound)
-        .cache()
-      val finishedQ = stats.filter(col("__done")).select("query_id")
-      val unfinishedQ = stats.filter(!col("__done"))
-        .select("query_id", "q_lonm", "q_latm", "__qcell")
-      val finished = topk.join(broadcast(finishedQ), "query_id")
+        .localCheckpoint() // one job; truncates the per-round lineage
+      // termination bound: k-th distance within the guaranteed-searched
+      // radius; once the disk covers the whole grid every candidate set is
+      // complete, so the bound becomes infinite
+      val fullCover = r >= Cells.cellsPerAxis(level) - 1
+      val bound = if (fullCover) lit(Long.MaxValue) else lit((r * cellH) * (r * cellH))
+      val doneCol = if (fullCover) lit(true) else
+        count(lit(1)).over(Window.partitionBy("query_id")) >= k &&
+          max(col("d2")).over(Window.partitionBy("query_id")) <= bound
+      val flagged = topk.withColumn("__done", doneCol)
+      finishedParts += flagged.filter(col("__done"))
         .select("query_id", "neighbor_id", "d2", "rn")
-      acc = if (acc == null) finished else acc.unionByName(finished)
-      val nLeft = unfinishedQ.limit(1).count()
-      if (nLeft == 0) done = true
+      val unfinished = flagged.filter(!col("__done"))
+      val unfinishedQ = unfinished
+        .select("query_id", "q_lonm", "q_latm", "__qcell").distinct()
+      // also keep queries that found NO candidate at all this round
+      val orphanQ = remaining.join(topk.select("query_id").distinct(),
+        Seq("query_id"), "left_anti")
+      val nextQ = unfinishedQ.unionByName(orphanQ).localCheckpoint()
+      if (nextQ.isEmpty) done = true
       else {
-        remaining = unfinishedQ
-        carry = topk.join(broadcast(unfinishedQ.select("query_id")), "query_id")
+        remaining = nextQ
+        carry = unfinished
           .select("query_id", "q_lonm", "q_latm", "__qcell", "neighbor_id", "d2")
-          .localCheckpoint(eager = false)
       }
-      r += 1
+      prevR = r
+      r = math.min(r * 4, 1 << level)
+      rounds += 1
     }
-    // any still-unfinished queries after maxRounds: emit best found so far
-    val leftover = if (done || carry == null) Seq.empty[(Long, Long, Long, Int)].toDF(
-      "query_id", "neighbor_id", "d2", "rn")
-    else {
+    // stragglers: exact brute-force against all points (tiny side broadcast)
+    if (!done) {
+      val brute = broadcast(remaining.select("query_id", "q_lonm", "q_latm"))
+        .crossJoin(pts)
+        .filter(col("query_id") =!= col("neighbor_id"))
+        .select(col("query_id"), col("neighbor_id"),
+          dist2(col("q_lonm"), col("q_latm"), col("p_lonm"), col("p_latm")).as("d2"))
       val w = Window.partitionBy("query_id").orderBy(col("d2"), col("neighbor_id"))
-      carry.withColumn("rn", row_number().over(w)).filter(col("rn") <= k)
+      finishedParts += brute.withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= k)
         .select("query_id", "neighbor_id", "d2", "rn")
     }
-    val out = if (acc == null) leftover else acc.unionByName(leftover)
-    out.select(col("query_id"), col("neighbor_id"), col("d2").as("dist2"), col("rn"))
+    finishedParts.reduce(_ unionByName _)
+      .select(col("query_id"), col("neighbor_id"), col("d2").as("dist2"), col("rn"))
   }
 }

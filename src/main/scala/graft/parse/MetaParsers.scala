@@ -1,0 +1,159 @@
+package graft.parse
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions.udf
+
+/** The reference's text-metadata parsers (SURVEY.md §2.1 S6-S9),
+  * re-implemented as pure Scala functions exposed as UDF columns returning
+  * `MapType`/`ArrayType(MapType)` — the Spark-native shape for the
+  * reference's attribute dicts.
+  *
+  * These are per-row narrow transforms: at 100 TB they pipeline inside the
+  * scan stage with zero shuffle.
+  */
+object MetaParsers {
+
+  /** S7 — scene `*_meta.txt` parser (/root/reference/lib/dem.py:477-499):
+    * `key=value` lines; the `Output Projection` special case keeps the whole
+    * remainder after '='.
+    */
+  def parseSceneMeta(text: String): Map[String, String] =
+    text.linesIterator.flatMap { line =>
+      val l = line.trim
+      val eq = l.indexOf('=')
+      if (eq <= 0) None
+      else {
+        val k = l.substring(0, eq).trim
+        val v = l.substring(eq + 1).trim
+        if (k.isEmpty) None else Some(k -> v)
+      }
+    }.toMap
+
+  /** S6 — strip `*_meta.txt` parser (/root/reference/lib/dem.py:1476-1548):
+    * header `key: value` section, then per-scene blocks started by
+    * `scene N name=...` lines containing `key=value` pairs; returns
+    * (header map, per-scene list of maps). The s2s version line
+    * (`Strip projection (proj4): ...` etc. stay plain header entries; the
+    * `s2s version` regex of the reference maps to the 'Strip Metadata'
+    * header block here).
+    */
+  def parseStripMeta(text: String): (Map[String, String], Seq[Map[String, String]]) = {
+    val header = scala.collection.mutable.Map[String, String]()
+    val scenes = scala.collection.mutable.ArrayBuffer[scala.collection.mutable.Map[String, String]]()
+    var inScenes = false
+    text.linesIterator.foreach { raw =>
+      val line = raw.trim
+      val ci = line.indexOf(':')
+      val ei = line.indexOf('=')
+      if (line.toLowerCase.startsWith("scene ") && line.contains("=")) {
+        inScenes = true
+        scenes += scala.collection.mutable.Map("scene_line" -> line)
+      } else if (!inScenes && ci > 0 && (ei < 0 || ci < ei)) {
+        // header `key: value` — the value may itself contain '=' (proj4)
+        val k = line.substring(0, ci).trim
+        val v = line.substring(ci + 1).trim
+        if (k.nonEmpty) header(k) = v
+      } else if (line.contains("=")) {
+        val i = line.indexOf('=')
+        val k = line.substring(0, i).trim
+        val v = line.substring(i + 1).trim
+        if (k.nonEmpty) {
+          if (inScenes && scenes.nonEmpty) scenes.last(k) = v
+          else header(k) = v
+        }
+      }
+    }
+    (header.toMap, scenes.map(_.toMap).toSeq)
+  }
+
+  /** S8 — mdf IMD parser (/root/reference/lib/dem.py:1451-1474):
+    * BEGIN_GROUP/END_GROUP nesting flattened to underscore-joined key paths,
+    * values stripped of trailing `;` and quotes.
+    */
+  def parseMdf(text: String): Map[String, String] = {
+    val out = scala.collection.mutable.Map[String, String]()
+    val stack = scala.collection.mutable.Stack[String]()
+    text.linesIterator.foreach { raw =>
+      val line = raw.trim.stripSuffix(";")
+      val eq = line.indexOf('=')
+      if (eq > 0) {
+        val k = line.substring(0, eq).trim
+        val v = line.substring(eq + 1).trim.stripPrefix("\"").stripSuffix("\"")
+        if (k == "BEGIN_GROUP") stack.push(v)
+        else if (k == "END_GROUP") { if (stack.nonEmpty) stack.pop() }
+        else {
+          val path = (stack.toSeq.reverse :+ k).mkString("_")
+          out(path) = v
+        }
+      }
+    }
+    out.toMap
+  }
+
+  /** S9 — reg.txt parser (/root/reference/lib/dem.py:1126-1144):
+    * `Translation Vector (dz,dx,dy)(m)= z, x, y`, GCP count, mean residual.
+    */
+  def parseReg(text: String): Map[String, Double] = {
+    val out = scala.collection.mutable.Map[String, Double]()
+    val vec = """Translation Vector \(dz,dx,dy\)\(m\)\s*=\s*([-\d.]+),\s*([-\d.]+),\s*([-\d.]+)""".r
+    val gcps = """# GCPs\s*=\s*(\d+)""".r
+    val rms = """Mean Vertical Residual \(m\)\s*=\s*([-\d.]+)""".r
+    vec.findFirstMatchIn(text).foreach { m =>
+      out("dz") = m.group(1).toDouble
+      out("dx") = m.group(2).toDouble
+      out("dy") = m.group(3).toDouble
+    }
+    gcps.findFirstMatchIn(text).foreach(m => out("num_gcps") = m.group(1).toDouble)
+    rms.findFirstMatchIn(text).foreach(m => out("mean_resid_z") = m.group(1).toDouble)
+    out.toMap
+  }
+
+  // Column wrappers
+  val sceneMetaUdf = udf(parseSceneMeta _)
+  val mdfUdf = udf(parseMdf _)
+  val regUdf = udf(parseReg _)
+  val stripMetaHeaderUdf = udf((s: String) => parseStripMeta(s)._1)
+  val stripMetaScenesUdf = udf((s: String) => parseStripMeta(s)._2)
+
+  /** P1 — the reference's filename grammars (lib/dem.py:57-124), reproduced
+    * group-for-group (case-insensitive, anchored at the end like `\Z`).
+    */
+  object Patterns {
+    private val pairnameSrc =
+      "(?<pairname>(?<sensor>[A-Z][A-Z\\d]{2}\\d)_(?<timestamp>\\d{8})_" +
+        "(?<catid1>[A-Z0-9]{16})_(?<catid2>[A-Z0-9]{16}))"
+
+    /** setsm_scene_pattern, lib/dem.py:57-69. */
+    val scene = ("(?i)" + pairnameSrc + "_" +
+      "(?<tile1>R\\d+C\\d+)?-?(?<order1>\\d{12}_\\d{2}_P\\d{3})_" +
+      "(?<tile2>R\\d+C\\d+)?-?(?<order2>\\d{12}_\\d{2}_P\\d{3})_" +
+      "(?<res>[0128])(-(?<subtile>\\d{2}))?_meta\\.txt$").r
+
+    /** setsm_strip_pattern, lib/dem.py:71-85. */
+    val strip = ("(?i)((?<algorithm>SETSM)_(?<relversion>s2s\\d{3})_)?" + pairnameSrc +
+      "_(?<res>(\\d+|0\\.\\d+)c?m)_(lsf_)?(?<partnum>SEG\\d+)_" +
+      "((?<relversion2>v[\\d\\.]+)_)?" +
+      "(?<suffix>dem(_water-masked|_cloud-masked|_cloud-water-masked|_masked)?\\.(tif|jpg))$").r
+
+    /** setsm_strip_pattern2, lib/dem.py:87-97. */
+    val strip2 = ("(?i)" + pairnameSrc +
+      "_(?<partnum>SEG\\d+)_(?<res>(\\d+|0\\.\\d+)c?m)_" +
+      "((?<relversion>v[\\d\\.]+)_)?(lsf_)?(?<suffix>dem\\.(tif|jpg))$").r
+
+    /** asp_strip_pattern, lib/dem.py:99-104. */
+    val asp = ("(?i)(?<pairname>(?<sensor>[A-Z]{2}\\d{2})_(?<timestamp>\\d{8})_" +
+      "(?<catid1>[A-Z0-9]{16})_(?<catid2>[A-Z0-9]{16}))_?(?<res>\\d+m)?-dem\\.(tif|jpg)$").r
+
+    /** setsm_tile_pattern, lib/dem.py:106-112. */
+    val tile = ("(?i)((?<scheme>utm\\d{2}[ns])_)?(?<tile>\\d+_\\d+s?)_" +
+      "((?<subtile>\\d+_\\d+)_)?(?<res>(\\d+|0\\.\\d+)c?m)_" +
+      "((?<relversion>v[\\d\\.]+)_)?(reg_)?dem\\.tif$").r
+
+    /** xtrack_sensor_pattern, lib/dem.py:123; used at lib/dem.py:268,695. */
+    val xtrack = "(?i)[wqg]\\d[wqg]\\d".r
+    def isXtrack(sensor: String): Boolean = xtrack.findFirstIn(sensor).isDefined
+
+    /** s2s_version_pattern, lib/dem.py:124. */
+    val s2sVersion = "Strip Metadata( \\(v(?<s2sversion>\\d[\\d\\.]*)\\))?".r
+  }
+}

@@ -1,0 +1,78 @@
+package graft.streaming
+
+import java.sql.Timestamp
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Structured Streaming operators over the events table shape
+  * (event_id, ts, user_id, event_type, value).
+  *
+  * The reference is pure batch (SURVEY.md §2.9), so these are the graft's
+  * forward-looking stream equivalents: the windowed aggregation mirrors
+  * q_event_window's batch semantics, and sessionization shows the
+  * `flatMapGroupsWithState` custom-state path the north star calls for.
+  *
+  * Scale: watermark bounds state; the window agg is a streaming hash
+  * aggregate partitioned by (window, event_type); sessionization partitions
+  * by user_id — both shuffle once per micro-batch.
+  */
+object EventStream {
+
+  case class Event(event_id: Long, ts: Timestamp, user_id: Long,
+                   event_type: String, value: Double)
+  case class SessionState(start: Long, last: Long, n: Long, sum: Double)
+  case class Session(user_id: Long, start_epoch: Long, end_epoch: Long,
+                     n_events: Long, sum_value: Double)
+
+  /** Tumbling 1-hour windowed count/sum with a 2-hour watermark. */
+  def windowedAgg(events: DataFrame): DataFrame =
+    events
+      .withColumn("ts", col("ts").cast("timestamp"))
+      .withWatermark("ts", "2 hours")
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"), round(sum(col("value")), 4).as("sum_value"))
+      .select(col("window.start").cast("long").as("hr_epoch"),
+        col("event_type"), col("n"), col("sum_value"))
+
+  /** Per-user sessionization: a session closes after `gapSeconds` of
+    * inactivity (event-time, driven by the watermark).
+    */
+  def sessionize(spark: SparkSession, events: Dataset[Event],
+                 gapSeconds: Long = 1800): Dataset[Session] = {
+    import spark.implicits._
+    events
+      .withWatermark("ts", "2 hours")
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[SessionState, Session](
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
+        (userId: Long, rows: Iterator[Event], state: GroupState[SessionState]) =>
+          if (state.hasTimedOut) {
+            val s = state.get
+            state.remove()
+            Iterator(Session(userId, s.start, s.last, s.n, s.sum))
+          } else {
+            val sorted = rows.toSeq.sortBy(_.ts.getTime)
+            var cur = state.getOption
+            val out = scala.collection.mutable.ArrayBuffer[Session]()
+            sorted.foreach { e =>
+              val t = e.ts.getTime / 1000
+              cur match {
+                case Some(s) if t - s.last <= gapSeconds =>
+                  cur = Some(SessionState(s.start, t, s.n + 1, s.sum + e.value))
+                case Some(s) =>
+                  out += Session(userId, s.start, s.last, s.n, s.sum)
+                  cur = Some(SessionState(t, t, 1, e.value))
+                case None =>
+                  cur = Some(SessionState(t, t, 1, e.value))
+              }
+            }
+            cur.foreach { s =>
+              state.update(s)
+              state.setTimeoutTimestamp(s.last * 1000 + gapSeconds * 1000)
+            }
+            out.iterator
+          }
+      }
+  }
+}

@@ -1,0 +1,163 @@
+package graft.table
+
+import java.nio.file.{Files, Path, Paths, StandardCopyOption}
+import java.util.UUID
+import scala.jdk.CollectionConverters._
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** "Icelite": a from-scratch Iceberg-style snapshot table layer (no Iceberg
+  * runtime in the sandbox — SURVEY.md §7.0). Provides what the north rule
+  * requires: checkpointed, resumable batch stages with per-partition lineage
+  * and metrics.
+  *
+  * Layout (local FS; on a cluster this would be an object store — the
+  * rename-based commit maps to a conditional PUT of the pointer object):
+  * {{{
+  * <table>/
+  *   data/<snapshotUuid>/part-*.parquet     -- immutable data files
+  *   meta/snapshot-<id>.json                -- manifest: files, counts, lineage
+  *   _CURRENT                               -- atomic pointer: current snapshot id
+  * }}}
+  *
+  * Commit protocol: write data to a fresh uuid dir → write the manifest →
+  * atomically rename `_CURRENT.tmp` over `_CURRENT`. Readers resolve
+  * `_CURRENT` then read only files listed in the manifest, so a crashed
+  * half-written commit is invisible (reference precedent: semaphore files
+  * `.cogfin` in package_setsm.py:395-438 and the `--check` verification of
+  * index_setsm.py:1179-1197).
+  *
+  * Resume: [[Pipeline.stage]] skips a stage whose table already has a
+  * committed snapshot for the same input fingerprint — the Spark analog of
+  * the reference's "expected outputs exist" incomplete-task skip
+  * (package_setsm.py:160-174).
+  */
+object Icelite {
+
+  case class Snapshot(id: Long, uuid: String, files: Seq[String], rowCount: Long,
+                      inputFingerprint: String, partitions: Seq[PartitionLineage])
+  case class PartitionLineage(partitionId: Int, rows: Long, checksum: Long)
+
+  private def metaDir(table: String): Path = Paths.get(table, "meta")
+  private def currentPtr(table: String): Path = Paths.get(table, "_CURRENT")
+
+  def currentSnapshotId(table: String): Option[Long] = {
+    val p = currentPtr(table)
+    if (Files.exists(p)) Some(Files.readString(p).trim.toLong) else None
+  }
+
+  /** Read a snapshot manifest (JSON is hand-rolled: no JSON lib needed for
+    * this fixed shape).
+    */
+  def readManifest(table: String, id: Long): Snapshot = {
+    val txt = Files.readString(metaDir(table).resolve(s"snapshot-$id.json"))
+    def field(k: String): String = {
+      val m = (s""""$k"\\s*:\\s*("([^"]*)"|[0-9-]+)""").r.findFirstMatchIn(txt)
+        .getOrElse(throw new IllegalStateException(s"manifest missing $k"))
+      Option(m.group(2)).getOrElse(m.group(1))
+    }
+    val files = """"files"\s*:\s*\[([^\]]*)\]""".r.findFirstMatchIn(txt).get
+      .group(1).split(",").map(_.trim.stripPrefix("\"").stripSuffix("\""))
+      .filter(_.nonEmpty).toSeq
+    val parts = """\{"pid":(\d+),"rows":(\d+),"checksum":(-?\d+)\}""".r
+      .findAllMatchIn(txt)
+      .map(m => PartitionLineage(m.group(1).toInt, m.group(2).toLong, m.group(3).toLong))
+      .toSeq
+    Snapshot(field("id").toLong, field("uuid"), files, field("rowCount").toLong,
+      field("inputFingerprint"), parts)
+  }
+
+  /** Commit a DataFrame as the table's next snapshot. Returns the snapshot.
+    *
+    * Per-partition lineage (row count + xor-of-hash checksum) is computed in
+    * the same pass that writes the data (one extra narrow aggregation), so a
+    * resumed run can verify partition equality without re-reading data.
+    */
+  def commit(spark: SparkSession, df: DataFrame, table: String,
+             inputFingerprint: String = ""): Snapshot = {
+    val uuid = UUID.randomUUID().toString
+    val dataDir = Paths.get(table, "data", uuid)
+    Files.createDirectories(metaDir(table))
+
+    df.write.mode("overwrite").parquet(dataDir.toString)
+
+    // lineage from the files just written (stable regardless of write path)
+    val written = spark.read.parquet(dataDir.toString)
+    val lineage = written
+      .withColumn("__pid", spark_partition_id())
+      .withColumn("__h", xxhash64(written.columns.map(col): _*))
+      .groupBy("__pid")
+      .agg(count(lit(1)).as("rows"),
+        // order-independent checksum; bit_xor never overflows (ANSI mode
+        // is on by default in Spark 4 and sum(long) would throw)
+        bit_xor(col("__h")).as("checksum"))
+      .collect()
+      .map(r => PartitionLineage(r.getInt(0), r.getLong(1), r.getLong(2)))
+      .toSeq
+    val rowCount = lineage.map(_.rows).sum
+
+    val files = Files.list(dataDir).iterator().asScala
+      .map(_.toString).filter(_.endsWith(".parquet")).toSeq.sorted
+    val id = currentSnapshotId(table).getOrElse(0L) + 1
+    val snap = Snapshot(id, uuid, files, rowCount, inputFingerprint, lineage)
+
+    val manifest = {
+      val fileArr = files.map(f => s""""$f"""").mkString("[", ",", "]")
+      val partArr = lineage.map(p =>
+        s"""{"pid":${p.partitionId},"rows":${p.rows},"checksum":${p.checksum}}""")
+        .mkString("[", ",", "]")
+      s"""{"id":$id,"uuid":"$uuid","rowCount":$rowCount,
+         |"inputFingerprint":"$inputFingerprint",
+         |"files":$fileArr,
+         |"partitions":$partArr}""".stripMargin
+    }
+    Files.writeString(metaDir(table).resolve(s"snapshot-$id.json"), manifest)
+    // atomic pointer swap — the actual commit
+    val tmp = Paths.get(table, s"_CURRENT.tmp.$uuid")
+    Files.writeString(tmp, id.toString)
+    Files.move(tmp, currentPtr(table), StandardCopyOption.ATOMIC_MOVE,
+      StandardCopyOption.REPLACE_EXISTING)
+    snap
+  }
+
+  /** Read the current snapshot's rows (only manifest-listed files — uncommitted
+    * data dirs are invisible).
+    */
+  def read(spark: SparkSession, table: String): DataFrame = {
+    val id = currentSnapshotId(table).getOrElse(
+      throw new IllegalStateException(s"no committed snapshot in $table"))
+    val snap = readManifest(table, id)
+    if (snap.files.isEmpty) spark.emptyDataFrame
+    else spark.read.parquet(snap.files: _*)
+  }
+
+  /** The reference's `--check` verification (J11, index_setsm.py:1179-1197):
+    * read back the committed snapshot and anti-join both directions on the
+    * record-id column; any diff ⇒ failure.
+    */
+  def check(spark: SparkSession, df: DataFrame, table: String, idCol: String): Long = {
+    val back = read(spark, table).select(idCol)
+    val fwd = df.select(idCol)
+    fwd.join(back, Seq(idCol), "left_anti").count() +
+      back.join(fwd, Seq(idCol), "left_anti").count()
+  }
+}
+
+/** Multi-stage resumable pipeline over Icelite tables. */
+class Pipeline(spark: SparkSession, root: String) {
+
+  /** Run (or skip) a stage: if `table` already has a snapshot whose input
+    * fingerprint matches, return its data without recomputation — the
+    * kill-and-resume semantics of SURVEY.md §7.2 step 8.
+    */
+  def stage(name: String, inputFingerprint: String)(body: => DataFrame): DataFrame = {
+    val table = s"$root/$name"
+    Icelite.currentSnapshotId(table) match {
+      case Some(id) if Icelite.readManifest(table, id).inputFingerprint == inputFingerprint =>
+        Icelite.read(spark, table)
+      case _ =>
+        Icelite.commit(spark, body, table, inputFingerprint)
+        Icelite.read(spark, table)
+    }
+  }
+}

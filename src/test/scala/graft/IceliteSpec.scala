@@ -1,0 +1,92 @@
+package graft
+
+import java.nio.file.{Files, Paths}
+import org.apache.spark.sql.functions._
+import graft.table.{Icelite, Pipeline}
+import graft.jobs.IndexJob
+
+/** Snapshot layer: atomic commit, manifest-scoped reads, lineage, and the
+  * kill-and-resume equality guarantee (SURVEY.md §5(g), §7.2 step 8).
+  */
+class IceliteSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def tmpDir(): String =
+    Files.createTempDirectory("icelite").toString
+
+  test("commit/read roundtrip with manifest-scoped files") {
+    val t = tmpDir() + "/t1"
+    val df = (1 to 100).map(i => (i.toLong, s"v$i")).toDF("id", "v")
+    val snap = Icelite.commit(spark, df, t)
+    assert(snap.rowCount === 100)
+    assert(snap.partitions.map(_.rows).sum === 100)
+    val back = Icelite.read(spark, t)
+    assert(back.count() === 100)
+    assert(back.as[(Long, String)].collect().toSet === df.as[(Long, String)].collect().toSet)
+  }
+
+  test("uncommitted data dirs are invisible to readers") {
+    val t = tmpDir() + "/t2"
+    Icelite.commit(spark, Seq((1L, "a")).toDF("id", "v"), t)
+    // simulate a crashed half-commit: stray data dir, no manifest/pointer
+    val stray = Paths.get(t, "data", "stray-uuid")
+    Seq((99L, "ghost")).toDF("id", "v").write.parquet(stray.toString)
+    assert(Icelite.read(spark, t).count() === 1)
+  }
+
+  test("snapshot ids advance; old snapshots stay readable via manifest") {
+    val t = tmpDir() + "/t3"
+    Icelite.commit(spark, Seq((1L, "a")).toDF("id", "v"), t)
+    Icelite.commit(spark, Seq((2L, "b"), (3L, "c")).toDF("id", "v"), t)
+    assert(Icelite.currentSnapshotId(t) === Some(2L))
+    val s1 = Icelite.readManifest(t, 1)
+    assert(spark.read.parquet(s1.files: _*).count() === 1)
+    assert(Icelite.read(spark, t).count() === 2)
+  }
+
+  test("check (J11) catches divergence") {
+    val t = tmpDir() + "/t4"
+    val df = (1 to 10).map(i => (s"r$i", i)).toDF("record_id", "x")
+    Icelite.commit(spark, df, t)
+    assert(Icelite.check(spark, df, t, "record_id") === 0)
+    val tampered = (2 to 11).map(i => (s"r$i", i)).toDF("record_id", "x")
+    assert(Icelite.check(spark, tampered, t, "record_id") === 2) // r11 fwd + r1 back
+  }
+
+  test("pipeline resume: stage skipped when fingerprint matches, rerun when not") {
+    val root = tmpDir()
+    val pipe = new Pipeline(spark, root)
+    var ran = 0
+    def body = { ran += 1; Seq((1L, "x")).toDF("id", "v") }
+    pipe.stage("s1", "fpA")(body)
+    pipe.stage("s1", "fpA")(body) // resume: same fingerprint -> skip
+    assert(ran === 1)
+    pipe.stage("s1", "fpB")(body) // input changed -> recompute
+    assert(ran === 2)
+  }
+
+  test("kill-and-resume produces output identical to a clean run") {
+    val cleanRoot = tmpDir()
+    val resumeRoot = tmpDir()
+    // clean run
+    val (n1, diff1) = IndexJob.run(spark, Sf, cleanRoot)
+    assert(diff1 === 0)
+    // "killed" run: only the first stage committed
+    val pipe = new Pipeline(spark, resumeRoot)
+    pipe.stage("pages", s"pages:$Sf") { graft.pages.Pages.fromDocuments(spark, Sf) }
+    // resume: full run on the partially-complete root
+    val (n2, diff2) = IndexJob.run(spark, Sf, resumeRoot)
+    assert(diff2 === 0)
+    assert(n1 === n2)
+    val a = Icelite.read(spark, s"$cleanRoot/index").select("record_id")
+    val b = Icelite.read(spark, s"$resumeRoot/index").select("record_id")
+    assert(a.exceptAll(b).count() === 0)
+    assert(b.exceptAll(a).count() === 0)
+  }
+
+  test("width validation skips wide rows and observes invalid counts (P6/A13)") {
+    val df = Seq(("short", 1), ("waaaaaaaaaaaaaaay-too-long", 2)).toDF("s", "x")
+    val validated = IndexJob.validateWidths(df, Map("s" -> 10))
+    assert(validated.count() === 1)
+  }
+}

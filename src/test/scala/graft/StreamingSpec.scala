@@ -1,0 +1,64 @@
+package graft
+
+import java.sql.Timestamp
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import graft.streaming.EventStream
+import graft.streaming.EventStream.Event
+
+/** Structured Streaming: windowed agg equals the batch query; sessionization
+  * closes sessions on the event-time gap.
+  */
+class StreamingSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ts(min: Long): Timestamp = new Timestamp(1704067200000L + min * 60000)
+
+  test("streaming windowed agg (complete mode) matches batch groupBy") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Event]
+    val events = Seq(
+      Event(1, ts(0), 1, "click", 1.0), Event(2, ts(10), 1, "click", 2.0),
+      Event(3, ts(70), 2, "view", 3.0), Event(4, ts(130), 2, "click", 4.0))
+    input.addData(events: _*)
+    val q = EventStream.windowedAgg(input.toDF())
+      .writeStream.format("memory").queryName("winagg")
+      .outputMode("complete").start()
+    q.processAllAvailable(); q.stop()
+    val got = spark.table("winagg")
+      .select("hr_epoch", "event_type", "n", "sum_value")
+      .as[(Long, String, Long, Double)].collect().toSet
+    val expected = events.toDF()
+      .groupBy(date_trunc("hour", col("ts")).cast("long").as("hr_epoch"), col("event_type"))
+      .agg(count(lit(1)).as("n"), round(sum(col("value")), 4).as("sum_value"))
+      .as[(Long, String, Long, Double)].collect().toSet
+    assert(got === expected)
+    assert(got.size === 3) // h0:click(n=2), h1:view, h2:click
+  }
+
+  test("sessionization closes sessions after the inactivity gap") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Event]
+    val q = EventStream.sessionize(spark, input.toDS(), gapSeconds = 600)
+      .writeStream.format("memory").queryName("sessions")
+      .outputMode("append").start()
+    // user 1: two events 5 min apart (one session), then 40 min silence,
+    // then another event -> first session closes
+    input.addData(Event(1, ts(0), 1, "click", 1.0), Event(2, ts(5), 1, "click", 2.0))
+    q.processAllAvailable()
+    input.addData(Event(3, ts(45), 1, "view", 3.0))
+    q.processAllAvailable()
+    // advance watermark far enough to time the second session out
+    input.addData(Event(4, ts(400), 9, "click", 0.0))
+    q.processAllAvailable()
+    input.addData(Event(5, ts(900), 9, "click", 0.0))
+    q.processAllAvailable()
+    q.stop()
+    val sessions = spark.table("sessions").as[EventStream.Session].collect()
+      .filter(_.user_id == 1).sortBy(_.start_epoch)
+    assert(sessions.length >= 1)
+    val first = sessions.head
+    assert(first.n_events === 2 && first.sum_value === 3.0)
+    assert(first.end_epoch - first.start_epoch === 300)
+  }
+}
