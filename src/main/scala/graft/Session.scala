@@ -14,10 +14,22 @@ object Session {
       .builder()
       .master(s"local[$cores]")
       .appName(appName)
-      .config("spark.sql.shuffle.partitions", cores.toString)
+      .config("spark.sql.shuffle.partitions", (cores * 2).toString)
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+      // keep at least one shuffle partition per core: the default 64 MB
+      // advisory target coalesces CPU-heavy small-row stages below the core
+      // count (fine for IO-bound 100 TB scans, wrong for compute-bound
+      // stages); parallelismFirst + a small min size preserves parallelism
+      .config("spark.sql.adaptive.coalescePartitions.parallelismFirst", "true")
+      .config("spark.sql.adaptive.coalescePartitions.minPartitionSize", "1m")
       .config("spark.sql.adaptive.skewJoin.enabled", "true")
+      // local-mode split sizing: default 128 MB splits would give a
+      // GB-scale local input only ~10 map tasks, idling most cores. A real
+      // 100 TB table has tens of thousands of splits at the default — keep
+      // that default in cluster deployments.
+      .config("spark.sql.files.maxPartitionBytes", "16m")
+      .config("spark.sql.files.openCostInBytes", "1m")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .config("spark.driver.host", "127.0.0.1")

@@ -513,7 +513,8 @@ object SparkEntry {
         |JOIN szs nb ON nb.doc_id = doc_b
         |WHERE CAST(n_inter AS DOUBLE) / (na.n_sh + nb.n_sh - n_inter) >= 0.2""".stripMargin,
       toksCte, shinglesCte,
-      "ex AS (SELECT DISTINCT doc_id, sg FROM (SELECT doc_id, unnest(s) AS sg FROM sh))",
+      s"""ex AS (SELECT DISTINCT doc_id, ${h32sql("sg")} AS sg
+         |       FROM (SELECT doc_id, unnest(s) AS sg FROM sh))""".stripMargin,
       "szs AS (SELECT doc_id, count(*) AS n_sh FROM ex GROUP BY doc_id)",
       """pairs AS (
         |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, CAST(count(*) AS BIGINT) AS n_inter

@@ -37,7 +37,6 @@ object KnnJoin {
     * explored in one round under geometric radius escalation. */
   private val ringRangeUdf = udf((cell: Long, lo: Int, hi: Int) =>
     ((lo + 1) to hi).flatMap(Cells.ringK(cell, _)).toArray)
-  private val cellAtUdf = udf((lon: Double, lat: Double, level: Int) => Cells.cellAt(lon, lat, level))
 
   /** Squared lon-wrapped millidegree distance as a column expression. */
   def dist2(lonm1: org.apache.spark.sql.Column, latm1: org.apache.spark.sql.Column,
@@ -60,13 +59,13 @@ object KnnJoin {
 
     val pts = points
       .select(col(pId).as("neighbor_id"), col("lonm").as("p_lonm"), col("latm").as("p_latm"))
-      .withColumn("__pcell", cellAtUdf(col("p_lonm") / 1000.0, col("p_latm") / 1000.0, lit(level)))
+      .withColumn("__pcell", org.apache.spark.sql.graft.CellExpressions.cell_at(col("p_lonm") / 1000.0, col("p_latm") / 1000.0, level))
       .cache()
     pts.count() // materialize once; probed every round
 
     var remaining = queries
       .select(col(qId).as("query_id"), col("lonm").as("q_lonm"), col("latm").as("q_latm"))
-      .withColumn("__qcell", cellAtUdf(col("q_lonm") / 1000.0, col("q_latm") / 1000.0, lit(level)))
+      .withColumn("__qcell", org.apache.spark.sql.graft.CellExpressions.cell_at(col("q_lonm") / 1000.0, col("q_latm") / 1000.0, level))
     val finishedParts = scala.collection.mutable.ArrayBuffer[DataFrame]()
     var carry: DataFrame = null // best-k-so-far of unfinished queries
     // geometric radius escalation (x4): the explored disk radius grows

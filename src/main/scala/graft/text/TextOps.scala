@@ -104,11 +104,11 @@ object TextOps {
     * (a 1-permutation MinHash — the rolling-hash fingerprint analog).
     */
   def fingerprint(docs: DataFrame): DataFrame = {
-    val sh = shingles(tokens(col("text")), 3)
-    docs.select(
-      col("doc_id"),
-      md5(col("text")).as("content_hash"),
-      array_min(transform(sh, s => h32(s))).as("fp_min"))
+    val mins = docs
+      .select(col("doc_id"), explode(shingles(tokens(col("text")), 3)).as("s"))
+      .groupBy("doc_id").agg(min(h32(col("s"))).as("fp_min"))
+    docs.select(col("doc_id"), md5(col("text")).as("content_hash"))
+      .join(mins, Seq("doc_id"), "left")
   }
 
   /** Exact dedup: canonical row per identical text (hash-groupBy; group by
@@ -137,13 +137,17 @@ object TextOps {
     * the bucket join shuffles on (band, key) which is md5-uniform.
     */
   def minhashBands(docs: DataFrame): DataFrame = {
-    val sh = shingles(tokens(col("text")), 3)
-    val hs = transform(sh, s => h32(s))
+    // explode + aggregate: the shingle md5 is computed ONCE per shingle (a
+    // per-row array formulation would inline the hash pipeline into all 16
+    // min expressions), and the groupBy combines map-side so the shuffle
+    // carries one partial row per (doc, partition)
+    val exploded = docs
+      .select(col("doc_id"), explode(shingles(tokens(col("text")), 3)).as("s"))
+      .select(col("doc_id"), h32(col("s")).as("h"))
     val mins = (0 until NumHashes).map { j =>
-      array_min(transform(hs, h => (h * (2 * j + 1) + (12345 * j + 7)) % MinhashP))
-        .as(s"mh_$j")
+      min((col("h") * (2 * j + 1) + (12345 * j + 7)) % MinhashP).as(s"mh_$j")
     }
-    val sig = docs.select(col("doc_id") +: mins: _*)
+    val sig = exploded.groupBy("doc_id").agg(mins.head, mins.tail: _*)
     val bands = (0 until NumHashes / BandRows).map { b =>
       struct(lit(b).as("band"),
         concat_ws("_", (0 until BandRows).map(r => col(s"mh_${b * BandRows + r}")): _*).as("band_key"))
@@ -170,6 +174,21 @@ object TextOps {
     * Output (doc_id, simhash).
     */
   def simhash(docs: DataFrame): DataFrame = {
+    val exploded = docs
+      .select(col("doc_id"), explode(tokens(col("text"))).as("w"))
+      .select(col("doc_id"), h32(col("w")).as("h"))
+    val votes = (0 until SimhashBits).map { i =>
+      sum(when(shiftright(col("h"), i).bitwiseAND(1) === 1, 1L).otherwise(-1L)).as(s"v_$i")
+    }
+    val voted = exploded.groupBy("doc_id").agg(votes.head, votes.tail: _*)
+    val sim = (0 until SimhashBits).map { i =>
+      when(col(s"v_$i") > 0, lit(1L << i)).otherwise(lit(0L))
+    }.reduce(_ + _)
+    voted.select(col("doc_id"), sim.as("simhash"))
+  }
+
+  /** (retired per-row-array formulation kept for reference tests) */
+  private[text] def simhashArrayForm(docs: DataFrame): DataFrame = {
     val hs = transform(tokens(col("text")), w => h32(w))
     val bitCols = (0 until SimhashBits).map { i =>
       aggregate(hs, lit(0L),
@@ -194,8 +213,11 @@ object TextOps {
     */
   def jaccardPairs(docs: DataFrame, threshold: Double = 0.2,
                    maxShingleDf: Int = 1000): DataFrame = {
+    // shuffle 8-byte shingle hashes, never shingle strings (at 100 TB the
+    // strings would dominate the shuffle); set semantics via array_distinct
+    // before explode
     val withSh = docs.select(col("doc_id"),
-      array_distinct(shingles(tokens(col("text")), 3)).as("sh"))
+      array_distinct(transform(shingles(tokens(col("text")), 3), s => h32(s))).as("sh"))
       .withColumn("n_sh", size(col("sh")))
     val exploded = withSh.select(col("doc_id"), col("n_sh"), explode(col("sh")).as("s"))
     val dfCut = Window.partitionBy(col("s"))
