@@ -301,7 +301,81 @@ object SparkEntry {
 
     // --- A8: DISTINCT projection
     "q_distinct_strips" -> ((s, dir) =>
-      Ladder.scenes(s, dir).select("stripdemid", "is_dsp").distinct())
+      Ladder.scenes(s, dir).select("stripdemid", "is_dsp").distinct()),
+
+    // --- A3: RMSE mean with the -1 / -9999 sentinel ladder
+    "q_rmse" -> ((s, dir) => {
+      val li = s.read.parquet(s"$dir/lineitem.parquet")
+      val aligns = li.select(col("l_orderkey").as("gid"),
+        when(col("l_orderkey") % 97 === 0, -2.0)
+          .when(col("l_linenumber") % 3 === 0, 0.0)
+          .otherwise(col("l_linenumber") / 4.0).as("scene_rmse"))
+      graft.ops.SceneStats.rmse(aligns, "gid")
+    }),
+
+    // --- A4 + O4: epoch-mean acquisition time + deterministic first pick
+    "q_acq_mean" -> ((s, dir) => {
+      val li = s.read.parquet(s"$dir/lineitem.parquet")
+      val scenes = li.select(col("l_orderkey").as("gid"),
+        col("l_shipdate").cast("timestamp").as("acq_ts"),
+        col("l_linenumber").as("scene_idx"))
+      // deterministic first pick: the fixture has duplicate scene_idx per
+      // group, so a bare min_by tie-breaks arbitrarily; encode (idx, epoch)
+      // as one integer key and decode the epoch back
+      scenes.groupBy("gid").agg(
+        round(avg(col("acq_ts").cast("double")), 4).as("avg_epoch"),
+        (min(col("scene_idx") * 10000000000L + col("acq_ts").cast("long"))
+          % 10000000000L).as("first_epoch"))
+    }),
+
+    // --- A2: group means over nullable metrics
+    "q_group_means" -> ((s, dir) => {
+      val li = s.read.parquet(s"$dir/lineitem.parquet")
+      val scenes = li.select(col("l_orderkey").as("gid"),
+        when(col("l_linenumber") % 2 === 0, col("l_quantity")).as("conv_angle"),
+        col("l_discount").as("exp_height_acc"),
+        when(col("l_linenumber") % 3 === 0, col("l_tax")).as("sun_el1"),
+        lit(null).cast("double").as("sun_el2"))
+      graft.ops.SceneStats.groupMeans(scenes, "gid")
+        // round: partial-aggregation add order may differ from the oracle's
+        .select(col("gid"), round(col("avg_conv_angle"), 6).as("avg_conv_angle"),
+          round(col("avg_exp_height_acc"), 6).as("avg_exp_height_acc"),
+          round(col("avg_sun_el1"), 6).as("avg_sun_el1"),
+          col("avg_sun_el2"))
+    }),
+
+    // --- J7: noncanonical scenes (anti-join vs the canonical master)
+    "q_noncanonical" -> ((s, dir) => {
+      val scenes = Ladder.scenes(s, dir)
+      val masterKeys = Canonical.sceneMaster(scenes)
+        .select("stripdemid", "is_dsp").distinct()
+      scenes.join(masterKeys, Seq("stripdemid", "is_dsp"), "left_anti")
+        .select("scenedemid", "stripdemid", "is_dsp")
+    }),
+
+    // --- P14: multi-format datetime normalization via try-parse coalesce
+    "q_date_normalize" -> ((s, dir) => {
+      val o = s.read.parquet(s"$dir/orders.parquet")
+      val str = when(col("o_orderkey") % 3 === 0, date_format(col("o_orderdate"), "yyyy-MM-dd"))
+        .when(col("o_orderkey") % 3 === 1, date_format(col("o_orderdate"), "dd/MM/yyyy"))
+        .otherwise(date_format(col("o_orderdate"), "yyyy-MM-dd HH:mm:ss"))
+      o.select(col("o_orderkey").as("okey"), str.as("raw"),
+        coalesce(
+          try_to_timestamp(str, lit("dd/MM/yyyy")),
+          try_to_timestamp(str, lit("yyyy-MM-dd")),
+          try_to_timestamp(str, lit("yyyy-MM-dd HH:mm:ss")))
+          .cast("long").as("norm_epoch"))
+    }),
+
+    // --- S5: scaled-int band read (scale/offset except at nodata)
+    "q_scaled_band" -> ((s, dir) => {
+      val em = s.read.parquet(s"$dir/embeddings.parquet")
+      val raw = transform(col("embedding"), x => round(x.cast("double") * 1000).cast("long"))
+      val scaled = transform(raw, v => when(v =!= 0L, v * 2 + 5))
+      em.select(col("vec_id"),
+        aggregate(scaled, lit(0L), (acc, v) => acc + coalesce(v, lit(0L))).as("band_sum"),
+        size(filter(scaled, v => v.isNull)).cast("long").as("n_nodata"))
+    })
   )
 
   // -------------------------------------------------------- oracle SQL
@@ -645,6 +719,65 @@ object SparkEntry {
         |FROM strips""".stripMargin, Ladder.stripsCte),
 
     "q_distinct_strips" -> withCtes(
-      "SELECT DISTINCT stripdemid, is_dsp FROM scenes", Ladder.scenesCte)
+      "SELECT DISTINCT stripdemid, is_dsp FROM scenes", Ladder.scenesCte),
+
+    "q_rmse" -> withCtes(
+      """SELECT gid,
+        |  CASE WHEN coalesce(r, -1.0) = -2.0 THEN -9999.0 ELSE coalesce(r, -1.0) END AS rmse
+        |FROM (SELECT gid, avg(CASE WHEN scene_rmse <> 0 THEN scene_rmse END) AS r
+        |      FROM aligns GROUP BY gid)""".stripMargin,
+      """aligns AS (SELECT l_orderkey AS gid,
+        |  CASE WHEN l_orderkey % 97 = 0 THEN -2.0
+        |       WHEN l_linenumber % 3 = 0 THEN 0.0
+        |       ELSE l_linenumber / 4.0 END AS scene_rmse FROM lineitem)""".stripMargin),
+
+    "q_acq_mean" ->
+      """SELECT l_orderkey AS gid,
+        |       round(avg(CAST(epoch_us(l_shipdate) AS DOUBLE) / 1000000.0), 4) AS avg_epoch,
+        |       min(l_linenumber * 10000000000 + CAST(epoch(l_shipdate) AS BIGINT)) % 10000000000 AS first_epoch
+        |FROM lineitem GROUP BY 1""".stripMargin,
+
+    "q_group_means" ->
+      """SELECT l_orderkey AS gid,
+        |  round(avg(CASE WHEN l_linenumber % 2 = 0 THEN l_quantity END), 6) AS avg_conv_angle,
+        |  round(avg(l_discount), 6) AS avg_exp_height_acc,
+        |  round(avg(CASE WHEN l_linenumber % 3 = 0 THEN l_tax END), 6) AS avg_sun_el1,
+        |  avg(CAST(NULL AS DOUBLE)) AS avg_sun_el2
+        |FROM lineitem GROUP BY 1""".stripMargin,
+
+    "q_noncanonical" -> withCtes(
+      """SELECT s.scenedemid, s.stripdemid, s.is_dsp
+        |FROM scenes s
+        |LEFT JOIN m ON s.stripdemid = m.stripdemid AND s.is_dsp = m.is_dsp
+        |WHERE m.stripdemid IS NULL""".stripMargin,
+      Ladder.scenesCte,
+      """m AS (SELECT DISTINCT a.stripdemid, a.is_dsp
+        |      FROM scenes a
+        |      JOIN (SELECT substr(b.stripdemid, 1, length(b.stripdemid) - 8) AS strip_nover,
+        |                   max(b.stripdemid) AS strip_max, b.is_dsp
+        |            FROM (SELECT DISTINCT stripdemid, is_dsp FROM scenes) b
+        |            GROUP BY strip_nover, b.is_dsp) c
+        |        ON a.stripdemid = c.strip_max AND a.is_dsp = c.is_dsp
+        |      WHERE a.is_dsp = false)""".stripMargin),
+
+    "q_date_normalize" ->
+      """SELECT okey, raw,
+        |  CAST(epoch(coalesce(try_strptime(raw, '%d/%m/%Y'),
+        |                      try_strptime(raw, '%Y-%m-%d'),
+        |                      try_strptime(raw, '%Y-%m-%d %H:%M:%S'))) AS BIGINT) AS norm_epoch
+        |FROM (SELECT o_orderkey AS okey,
+        |        CASE CAST(o_orderkey % 3 AS INT)
+        |          WHEN 0 THEN strftime(o_orderdate, '%Y-%m-%d')
+        |          WHEN 1 THEN strftime(o_orderdate, '%d/%m/%Y')
+        |          ELSE strftime(o_orderdate, '%Y-%m-%d %H:%M:%S') END AS raw
+        |      FROM orders)""".stripMargin,
+
+    "q_scaled_band" ->
+      """SELECT vec_id,
+        |  CAST(list_sum(list_transform(raw, v -> CASE WHEN v <> 0 THEN v * 2 + 5 ELSE 0 END)) AS BIGINT) AS band_sum,
+        |  CAST(len(list_filter(raw, v -> v = 0)) AS BIGINT) AS n_nodata
+        |FROM (SELECT vec_id,
+        |        list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS raw
+        |      FROM embeddings)""".stripMargin
   )
 }

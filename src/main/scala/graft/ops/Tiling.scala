@@ -23,11 +23,11 @@ import graft.cells.Cells
   */
 object Tiling {
 
-  private val tileIdUdf = udf((lon: Double, lat: Double) => Cells.tileId(lon, lat))
-
-  /** Exact reference tile id (utm/ps supertile + quartertile). */
+  /** Exact reference tile id (utm/ps supertile + quartertile) — codegen
+    * expression, no UDF (org.apache.spark.sql.graft.CellExpressions). */
   def withTileId(df: DataFrame, lon: String = "lon", lat: String = "lat"): DataFrame =
-    df.withColumn("tile_id", tileIdUdf(col(lon), col(lat)))
+    df.withColumn("tile_id",
+      org.apache.spark.sql.graft.CellExpressions.tile_id(col(lon), col(lat)))
 
   /** Degree-grid supertile `{r}_{c}` (step° boxes) — oracle-reproducible. */
   def degSupertile(lon: Column, lat: Column, step: Int): Column =

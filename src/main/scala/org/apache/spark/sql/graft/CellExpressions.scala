@@ -55,6 +55,11 @@ object GraftKernels {
       inside
     }
 
+    /** Reference tile id (polar-stereo/UTM 100 km supertile + quartertile,
+      * lib/dem.py:106-112) — projection trig inlined in codegen. */
+    def tileId(lon: Double, lat: Double): org.apache.spark.unsafe.types.UTF8String =
+      org.apache.spark.unsafe.types.UTF8String.fromString(Cells.tileId(lon, lat))
+
     /** Exactly-one-tile pick over (pid, ring, interior) candidate structs. */
     def shelvePick(cands: ArrayData, px: Double, py: Double): org.apache.spark.unsafe.types.UTF8String = {
       var picked: org.apache.spark.unsafe.types.UTF8String = null
@@ -127,6 +132,24 @@ object CellExpressions {
     override protected def withNewChildrenInternal(f: Expression, s: Expression, t: Expression): ShelvePick =
       copy(first = f, second = s, third = t)
   }
+
+  /** Reference supertile/quartertile id via the real CRS projection. */
+  case class TileIdExpr(left: Expression, right: Expression)
+      extends org.apache.spark.sql.catalyst.expressions.BinaryExpression {
+    override def dataType: DataType = org.apache.spark.sql.types.StringType
+    override def nullable: Boolean = left.nullable || right.nullable
+    override protected def nullSafeEval(lon: Any, lat: Any): Any =
+      Kernels.tileId(lon.asInstanceOf[Double], lat.asInstanceOf[Double])
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, (lon, lat) => s"${ev.value} = $K.tileId($lon, $lat);")
+    override protected def withNewChildrenInternal(l: Expression, r: Expression): TileIdExpr =
+      copy(left = l, right = r)
+  }
+
+  def tile_id(lon: Column, lat: Column): Column =
+    ExpressionUtils.column(TileIdExpr(
+      ExpressionUtils.expression(lon.cast("double")),
+      ExpressionUtils.expression(lat.cast("double"))))
 
   def shelve_pick(cands: Column, px: Column, py: Column): Column =
     ExpressionUtils.column(ShelvePick(
