@@ -56,6 +56,31 @@ object SparkEntry {
   private def dotSql(a: String, b: String): String =
     s"CAST(list_sum(list_transform(range(1, 65), i -> $a[i] * $b[i])) AS BIGINT)"
 
+  /** LSH bucket bits over `em` (mirrors Ann.lshBuckets). */
+  private lazy val lshTermsSql: String = (0 until Ann.NumPlanes).map { p =>
+    val comps = (0 until Ann.Dim)
+      .map(d => s"em[${d + 1}] * (${Ann.planeComponent(p, d)})").mkString(" + ")
+    s"CASE WHEN $comps > 0 THEN ${1L << p} ELSE 0 END"
+  }.mkString(" + ")
+
+  /** IVF CTE chain: per-vector centroid dots → argmax cell (lower index
+    * wins ties) — mirrors Ann.ivfAssign. */
+  private lazy val ivfCte: String = {
+    val dots = (0 until Ann.IvfCells).map { c =>
+      val expr = (0 until Ann.Dim)
+        .map(d => s"em[${d + 1}] * (${Ann.centroidComponent(c, d)})").mkString(" + ")
+      s"($expr) AS d_$c"
+    }.mkString(",\n    ")
+    val names = (0 until Ann.IvfCells).map(c => s"d_$c").mkString(", ")
+    val cases = (0 until Ann.IvfCells).map(c => s"WHEN d_$c = __m THEN $c").mkString(" ")
+    s"""ivfd AS (SELECT vec_id, em, n2,
+       |    $dots
+       |  FROM emn),
+       |ivfc AS (SELECT vec_id, em, n2,
+       |    CAST(CASE $cases ELSE -1 END AS BIGINT) AS ivf_cell
+       |  FROM (SELECT *, greatest($names) AS __m FROM ivfd))""".stripMargin
+  }
+
   // --------------------------------------------------------- flagship
 
   /** Flagship on sf0.001: geocode the pages, shelve them into tiles via the
@@ -203,6 +228,21 @@ object SparkEntry {
     "q_lsh_buckets" -> ((s, dir) =>
       Ann.lshBuckets(s.read.parquet(s"$dir/embeddings.parquet"))
         .select(col("vec_id"), col("bucket"))),
+
+    // --- similarity: LSH-bucketed ANN top-k
+    "q_lsh_topk" -> ((s, dir) =>
+      Ann.lshTopK(s.read.parquet(s"$dir/embeddings.parquet"), col("vec_id") < 32, k = 3)
+        .withColumn("rn", col("rn").cast("long"))),
+
+    // --- similarity: IVF cell assignment (deterministic centroids)
+    "q_ivf_cells" -> ((s, dir) =>
+      Ann.ivfAssign(s.read.parquet(s"$dir/embeddings.parquet"))
+        .select(col("vec_id"), col("ivf_cell"))),
+
+    // --- similarity: IVF-probed ANN top-k
+    "q_ivf_topk" -> ((s, dir) =>
+      Ann.ivfTopK(s.read.parquet(s"$dir/embeddings.parquet"), col("vec_id") < 32, k = 3)
+        .withColumn("rn", col("rn").cast("long"))),
 
     // --- events: tumbling-window aggregation
     "q_event_window" -> ((s, dir) =>
@@ -617,13 +657,40 @@ object SparkEntry {
          |      sqrt(CAST(a.n2 * b.n2 AS DOUBLE)) >= 0.2""".stripMargin, embCte),
 
     "q_lsh_buckets" -> {
-      val terms = (0 until Ann.NumPlanes).map { p =>
-        val comps = (0 until Ann.Dim)
-          .map(d => s"em[${d + 1}] * (${Ann.planeComponent(p, d)})").mkString(" + ")
-        s"CASE WHEN $comps > 0 THEN ${1L << p} ELSE 0 END"
-      }.mkString(" + ")
-      withCtes(s"SELECT vec_id, CAST($terms AS BIGINT) AS bucket FROM emn", embCte)
+      withCtes(s"SELECT vec_id, CAST($lshTermsSql AS BIGINT) AS bucket FROM emn", embCte)
     },
+
+    "q_lsh_topk" -> withCtes(
+      s"""SELECT query_id, neighbor_id, cos_sim, rn FROM (
+         |  SELECT query_id, neighbor_id, cos_sim,
+         |         row_number() OVER (PARTITION BY query_id ORDER BY cos_sim DESC, neighbor_id) AS rn
+         |  FROM (
+         |    SELECT q.vec_id AS query_id, v.vec_id AS neighbor_id,
+         |           CAST(${dotSql("q.em", "v.em")} AS DOUBLE) /
+         |           sqrt(CAST(q.n2 * v.n2 AS DOUBLE)) AS cos_sim
+         |    FROM b q JOIN b v ON v.bucket = q.bucket AND v.vec_id <> q.vec_id
+         |    WHERE q.vec_id < 32
+         |  )
+         |) WHERE rn <= 3""".stripMargin,
+      embCte,
+      s"b AS (SELECT vec_id, em, n2, CAST($lshTermsSql AS BIGINT) AS bucket FROM emn)"),
+
+    "q_ivf_cells" -> withCtes(
+      "SELECT vec_id, ivf_cell FROM ivfc", embCte, ivfCte),
+
+    "q_ivf_topk" -> withCtes(
+      s"""SELECT query_id, neighbor_id, cos_sim, rn FROM (
+         |  SELECT query_id, neighbor_id, cos_sim,
+         |         row_number() OVER (PARTITION BY query_id ORDER BY cos_sim DESC, neighbor_id) AS rn
+         |  FROM (
+         |    SELECT q.vec_id AS query_id, v.vec_id AS neighbor_id,
+         |           CAST(${dotSql("q.em", "v.em")} AS DOUBLE) /
+         |           sqrt(CAST(q.n2 * v.n2 AS DOUBLE)) AS cos_sim
+         |    FROM ivfc q JOIN ivfc v ON v.ivf_cell = q.ivf_cell AND v.vec_id <> q.vec_id
+         |    WHERE q.vec_id < 32
+         |  )
+         |) WHERE rn <= 3""".stripMargin,
+      embCte, ivfCte),
 
     "q_event_window" ->
       """SELECT CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS hr_epoch, event_type,

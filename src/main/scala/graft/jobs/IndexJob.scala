@@ -86,10 +86,19 @@ object IndexJob {
       index.groupBy("geocell").agg(count(lit(1)).as("n"))
     }
     counts.count() // materialize
+    // metrics table (A13): invalid/total record counters persisted as a
+    // snapshot row next to the data they describe
+    import spark.implicits._
+    val total = indexRows(pages).count()
+    val valid = Icelite.read(spark, s"$workRoot/index").count()
+    pipe.stage("metrics", fp) {
+      Seq((fp, total, valid, total - valid))
+        .toDF("input_fingerprint", "total_record_cnt", "valid_record_cnt", "invalid_record_cnt")
+    }
     // J11 --check: committed snapshot vs recomputed projection
     val diff = Icelite.check(spark,
       validateWidths(indexRows(pages), Map("url" -> 256, "geocell" -> 7, "record_id" -> 512)),
       s"$workRoot/index", "record_id")
-    (Icelite.read(spark, s"$workRoot/index").count(), diff)
+    (valid, diff)
   }
 }

@@ -1,0 +1,54 @@
+package graft.jobs
+
+import org.apache.spark.sql.functions._
+import graft.{Session, SparkEntry}
+import graft.ops.{KnnJoin, PipJoin, StacDocs, Tiling}
+import graft.pages.Pages
+import graft.table.Icelite
+
+/** spark-submit entry points (north rule: "jobs run via spark-submit ...
+  * checkpoint to snapshots ... resumable"). Each subcommand reads the driver
+  * tables under `sfDir` and commits its output as an Icelite snapshot under
+  * `outRoot/<job>`, so a re-run resumes/verifies rather than recomputing.
+  *
+  * Usage: spark-submit --class graft.jobs.Main <jar> <job> <sfDir> <outRoot>
+  *   job ∈ index | shelve | tile | knn | stacdocs
+  */
+object Main {
+  def main(args: Array[String]): Unit = {
+    require(args.length >= 3, "usage: <index|shelve|tile|knn|stacdocs> <sfDir> <outRoot>")
+    val Array(job, sfDir, outRoot) = args.take(3)
+    val spark = Session.local(
+      sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt, s"graft-$job")
+    try {
+      job match {
+        case "index" =>
+          val (rows, diff) = IndexJob.run(spark, sfDir, s"$outRoot/index_job")
+          println(s"""{"job":"index","rows":$rows,"check_diff":$diff}""")
+        case "shelve" =>
+          val pts = Pages.fromDocuments(spark, sfDir)
+          val tiles = Pages.tiles(spark).withColumn("ring",
+            PipJoin.rectRing(col("x0"), col("y0"), col("x1"), col("y1")))
+          val shelved = PipJoin.shelve(pts, tiles, "doc_id", "lon", "lat", "tile_name", "ring")
+          val snap = Icelite.commit(spark, shelved, s"$outRoot/shelved", s"shelve:$sfDir")
+          println(s"""{"job":"shelve","rows":${snap.rowCount}}""")
+        case "tile" =>
+          val stats = Tiling.coverageStats(Pages.fromDocuments(spark, sfDir))
+          val snap = Icelite.commit(spark, stats, s"$outRoot/tile_stats", s"tile:$sfDir")
+          println(s"""{"job":"tile","tiles":${snap.rowCount}}""")
+        case "knn" =>
+          val pts = Pages.fromDocuments(spark, sfDir)
+          val knn = KnnJoin.knn(spark, pts, pts, "doc_id", "doc_id", k = 5, level = 4)
+          val snap = Icelite.commit(spark, knn, s"$outRoot/knn", s"knn:$sfDir")
+          println(s"""{"job":"knn","rows":${snap.rowCount}}""")
+        case "stacdocs" =>
+          val docs = StacDocs.itemDocs(Pages.fromDocuments(spark, sfDir))
+          val snap = Icelite.commit(spark, docs, s"$outRoot/stac_items", s"stac:$sfDir")
+          val tree = StacDocs.treeRollup(Pages.fromDocuments(spark, sfDir))
+          Icelite.commit(spark, tree, s"$outRoot/stac_tree", s"stac:$sfDir")
+          println(s"""{"job":"stacdocs","items":${snap.rowCount}}""")
+        case other => sys.error(s"unknown job $other")
+      }
+    } finally spark.stop()
+  }
+}

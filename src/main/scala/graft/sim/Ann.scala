@@ -30,9 +30,11 @@ object Ann {
   def milli(embedding: Column): Column =
     transform(embedding, x => round(x.cast("double") * 1000).cast("long"))
 
-  /** Exact integer dot product of two equal-length long arrays. */
+  /** Exact integer dot product of two equal-length long arrays — a codegen
+    * expression (zip_with/aggregate higher-order functions are
+    * CodegenFallback, i.e. interpreted, and dominate the all-pairs scans). */
   def doti(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x * y), lit(0L), (acc, v) => acc + v)
+    org.apache.spark.sql.graft.CellExpressions.dot_longs(a, b)
 
   /** cosine(a, b) from milli vectors (na2/nb2 = precomputed self-dots). */
   def cosine(dot: Column, na2: Column, nb2: Column): Column =
@@ -96,6 +98,52 @@ object Ann {
       when(dot > 0, lit(1L << p)).otherwise(lit(0L))
     }.reduce(_ + _)
     all.withColumn("bucket", bucket)
+  }
+
+  val IvfCells = 16
+
+  /** Deterministic IVF centroid component (same md5 derivation family as the
+    * LSH planes; no trained k-means — public-deterministic for the oracle).
+    */
+  def centroidComponent(c: Int, d: Int): Long = {
+    val digest = java.security.MessageDigest.getInstance("MD5")
+      .digest(s"centroid-$c-$d".getBytes("UTF-8"))
+    val hex = digest.take(4).map(b => f"$b%02x").mkString
+    java.lang.Long.parseLong(hex, 16) % 2001 - 1000
+  }
+
+  /** IVF cell assignment: argmax dot product against the fixed centroid set
+    * (ties break to the lower cell index). The scale path buckets vectors
+    * into IvfCells partitions; search probes the query's cell only.
+    */
+  def ivfAssign(vecs: DataFrame): DataFrame = {
+    val all = prepared(vecs)
+    val dots = (0 until IvfCells).map { c =>
+      val carr = array((0 until Dim).map(d => lit(centroidComponent(c, d))): _*)
+      doti(col("em"), carr).as(s"d_$c")
+    }
+    val withDots = all.select((col("vec_id") +: col("em") +: col("n2") +: dots): _*)
+    val maxDot = greatest((0 until IvfCells).map(c => col(s"d_$c")): _*)
+    val cell = (0 until IvfCells).foldLeft(Option.empty[Column]) {
+      case (None, c) => Some(when(col(s"d_$c") === maxDot, lit(c)))
+      case (Some(e), c) => Some(e.when(col(s"d_$c") === maxDot, lit(c)))
+    }.get.otherwise(lit(-1))
+    withDots.select(col("vec_id"), col("em"), col("n2"),
+      cell.cast("long").as("ivf_cell"))
+  }
+
+  /** ANN top-k probing only the query's IVF cell (recall < 1 by design). */
+  def ivfTopK(vecs: DataFrame, queryPred: Column, k: Int): DataFrame = {
+    val all = ivfAssign(vecs)
+    val q = all.filter(queryPred)
+      .select(col("vec_id").as("query_id"), col("em").as("qem"),
+        col("n2").as("qn2"), col("ivf_cell").as("qcell"))
+    val joined = all.join(q, col("ivf_cell") === col("qcell")
+        && col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        cosine(doti(col("qem"), col("em")), col("qn2"), col("n2")).as("cos_sim"))
+    val w = Window.partitionBy("query_id").orderBy(col("cos_sim").desc, col("neighbor_id"))
+    joined.withColumn("rn", row_number().over(w)).filter(col("rn") <= k)
   }
 
   /** ANN top-k within LSH bucket (the scale path; recall < 1 by design).

@@ -60,6 +60,16 @@ object GraftKernels {
     def tileId(lon: Double, lat: Double): org.apache.spark.unsafe.types.UTF8String =
       org.apache.spark.unsafe.types.UTF8String.fromString(Cells.tileId(lon, lat))
 
+    /** Exact dot product of two equal-length long arrays (integer-quantized
+      * embeddings) — allocation-free. */
+    def dotLongs(a: ArrayData, b: ArrayData): Long = {
+      val n = a.numElements()
+      var acc = 0L
+      var i = 0
+      while (i < n) { acc += a.getLong(i) * b.getLong(i); i += 1 }
+      acc
+    }
+
     /** Exactly-one-tile pick over (pid, ring, interior) candidate structs. */
     def shelvePick(cands: ArrayData, px: Double, py: Double): org.apache.spark.unsafe.types.UTF8String = {
       var picked: org.apache.spark.unsafe.types.UTF8String = null
@@ -145,6 +155,23 @@ object CellExpressions {
     override protected def withNewChildrenInternal(l: Expression, r: Expression): TileIdExpr =
       copy(left = l, right = r)
   }
+
+  /** Integer dot product of two array<long> columns, codegen-fused. */
+  case class DotLongs(left: Expression, right: Expression)
+      extends org.apache.spark.sql.catalyst.expressions.BinaryExpression {
+    override def dataType: DataType = LongType
+    override def nullable: Boolean = left.nullable || right.nullable
+    override protected def nullSafeEval(a: Any, b: Any): Any =
+      Kernels.dotLongs(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, (a, b) => s"${ev.value} = $K.dotLongs($a, $b);")
+    override protected def withNewChildrenInternal(l: Expression, r: Expression): DotLongs =
+      copy(left = l, right = r)
+  }
+
+  def dot_longs(a: Column, b: Column): Column =
+    ExpressionUtils.column(DotLongs(
+      ExpressionUtils.expression(a), ExpressionUtils.expression(b)))
 
   def tile_id(lon: Column, lat: Column): Column =
     ExpressionUtils.column(TileIdExpr(
