@@ -407,6 +407,13 @@ object SparkEntry {
           .cast("long").as("norm_epoch"))
     }),
 
+    // --- hex cell assignment (cell_hex; the H3-analog ring-expandable grid)
+    "q_hex_cells" -> ((s, dir) => {
+      val hexUdf = udf((lon: Double, lat: Double) => graft.cells.HexGrid.hexAt(lon, lat, 2.0))
+      Pages.fromDocuments(s, dir)
+        .select(col("doc_id"), hexUdf(col("lon"), col("lat")).as("cell_hex"))
+    }),
+
     // --- S5: scaled-int band read (scale/offset except at nodata)
     "q_scaled_band" -> ((s, dir) => {
       val em = s.read.parquet(s"$dir/embeddings.parquet")
@@ -838,6 +845,28 @@ object SparkEntry {
         |          WHEN 1 THEN strftime(o_orderdate, '%d/%m/%Y')
         |          ELSE strftime(o_orderdate, '%Y-%m-%d %H:%M:%S') END AS raw
         |      FROM orders)""".stripMargin,
+
+    "q_hex_cells" -> withCtes(
+      """SELECT doc_id,
+        |  CAST((rx + 1073741824) * 4294967296 + (rz + 1073741824) AS BIGINT) AS cell_hex
+        |FROM (
+        |  SELECT doc_id,
+        |    CASE WHEN abs(rx0 - qf) > abs(ry0 - yf) AND abs(rx0 - qf) > abs(rz0 - rf)
+        |         THEN -ry0 - rz0 ELSE rx0 END AS rx,
+        |    CASE WHEN NOT (abs(rx0 - qf) > abs(ry0 - yf) AND abs(rx0 - qf) > abs(rz0 - rf))
+        |          AND NOT (abs(ry0 - yf) > abs(rz0 - rf))
+        |         THEN -rx0 - ry0 ELSE rz0 END AS rz
+        |  FROM (
+        |    SELECT doc_id, qf, rf, -qf - rf AS yf,
+        |           CAST(round(qf) AS BIGINT) AS rx0,
+        |           CAST(round(-qf - rf) AS BIGINT) AS ry0,
+        |           CAST(round(rf) AS BIGINT) AS rz0
+        |    FROM (SELECT doc_id,
+        |            (sqrt(3) / 3 * lon - 1.0 / 3 * lat) / 2.0 AS qf,
+        |            (2.0 / 3 * lat) / 2.0 AS rf
+        |          FROM pages)
+        |  )
+        |)""".stripMargin, Pages.docPagesCte),
 
     "q_scaled_band" ->
       """SELECT vec_id,
