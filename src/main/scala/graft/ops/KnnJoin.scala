@@ -120,16 +120,15 @@ object KnnJoin {
       rounds += 1
     }
     // stragglers: exact brute-force against all points (tiny side broadcast)
+    // + bounded-heap top-k (the per-cell bounded priority queue of the north
+    // star: shuffles k rows per query per partition, not the candidate set)
     if (!done) {
       val brute = broadcast(remaining.select("query_id", "q_lonm", "q_latm"))
         .crossJoin(pts)
         .filter(col("query_id") =!= col("neighbor_id"))
         .select(col("query_id"), col("neighbor_id"),
           dist2(col("q_lonm"), col("q_latm"), col("p_lonm"), col("p_latm")).as("d2"))
-      val w = Window.partitionBy("query_id").orderBy(col("d2"), col("neighbor_id"))
-      finishedParts += brute.withColumn("rn", row_number().over(w))
-        .filter(col("rn") <= k)
-        .select("query_id", "neighbor_id", "d2", "rn")
+      finishedParts += TopK.topK(spark, brute, k)
     }
     finishedParts.reduce(_ unionByName _)
       .select(col("query_id"), col("neighbor_id"), col("d2").as("dist2"), col("rn"))
