@@ -33,6 +33,12 @@ for name, sql in sorted(oracle.items()):
         continue
     exp = exp[sorted(exp.columns)]
     got = got[sorted(got.columns)]
+    # stringify unhashable (array/list) cells so pandas can sort
+    for df in (exp, got):
+        for c in df.columns:
+            if df[c].dtype == object and len(df) and isinstance(df[c].iloc[0], (list, tuple)) or \
+               str(df[c].dtype) == 'object' and len(df) and type(df[c].iloc[0]).__name__ == 'ndarray':
+                df[c] = df[c].astype(str)
     if list(exp.columns) != list(got.columns):
         results[name] = f"SCHEMA_MISMATCH exp={list(exp.columns)} got={list(got.columns)}"
         continue

@@ -407,6 +407,44 @@ object SparkEntry {
           .cast("long").as("norm_epoch"))
     }),
 
+    // --- P4 + S16 + A14: packaging quality filter + per-item manifest
+    // (package_setsm.py:23-25 thresholds; tar content as manifest rows)
+    "q_package_manifest" -> ((s, dir) => {
+      val li = s.read.parquet(s"$dir/lineitem.parquet")
+      val items = li.select(
+        (col("l_orderkey") * 10 + col("l_linenumber")).as("item_id"),
+        (col("l_quantity") * 2).as("valid_area"),
+        (col("l_discount") + 0.01).as("masked_density"),
+        col("l_extendedprice").as("filesz"))
+      items
+        .filter(col("valid_area") >= 16.0 && col("masked_density") >= 0.05)
+        .select(col("item_id"),
+          concat(lit("pkg/"), col("item_id").cast("string"), lit(".tar.gz")).as("archive"),
+          (col("filesz") / 1024.0).as("filesz_gb"),
+          concat_ws(",",
+            concat(col("item_id").cast("string"), lit("_dem.tif")),
+            concat(col("item_id").cast("string"), lit("_meta.txt"))).as("contents"))
+    }),
+
+    // --- batch sessionization (SQL twin of streaming.EventStream.sessionize)
+    "q_sessionize" -> ((s, dir) => {
+      val ev = s.read.parquet(s"$dir/events.parquet")
+        .select(col("user_id"),
+          unix_micros(col("ts").cast("timestamp")).as("te"), col("value"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("user_id").orderBy("te")
+      val gapped = ev
+        .withColumn("prev", lag(col("te"), 1).over(w))
+        .withColumn("new_sess",
+          when(col("prev").isNull || col("te") - col("prev") > 1800L * 1000000L, 1L)
+            .otherwise(0L))
+        .withColumn("sess_id", sum(col("new_sess")).over(
+          w.rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)))
+      gapped.groupBy("user_id", "sess_id").agg(
+        min(col("te")).as("start_epoch"), max(col("te")).as("end_epoch"),
+        count(lit(1)).as("n_events"), round(sum(col("value")), 4).as("sum_value"))
+    }),
+
     // --- hex cell assignment (cell_hex; the H3-analog ring-expandable grid)
     "q_hex_cells" -> ((s, dir) => {
       val hexUdf = udf((lon: Double, lat: Double) => graft.cells.HexGrid.hexAt(lon, lat, 2.0))
@@ -845,6 +883,36 @@ object SparkEntry {
         |          WHEN 1 THEN strftime(o_orderdate, '%d/%m/%Y')
         |          ELSE strftime(o_orderdate, '%Y-%m-%d %H:%M:%S') END AS raw
         |      FROM orders)""".stripMargin,
+
+    "q_package_manifest" ->
+      """SELECT item_id,
+        |  'pkg/' || CAST(item_id AS VARCHAR) || '.tar.gz' AS archive,
+        |  filesz / 1024.0 AS filesz_gb,
+        |  CAST(item_id AS VARCHAR) || '_dem.tif' || ',' ||
+        |  CAST(item_id AS VARCHAR) || '_meta.txt' AS contents
+        |FROM (SELECT l_orderkey * 10 + l_linenumber AS item_id,
+        |             l_quantity * 2 AS valid_area,
+        |             l_discount + 0.01 AS masked_density,
+        |             l_extendedprice AS filesz
+        |      FROM lineitem)
+        |WHERE valid_area >= 16.0 AND masked_density >= 0.05""".stripMargin,
+
+    "q_sessionize" ->
+      """SELECT user_id, sess_id,
+        |       min(te) AS start_epoch, max(te) AS end_epoch,
+        |       CAST(count(*) AS BIGINT) AS n_events, round(sum(value), 4) AS sum_value
+        |FROM (
+        |  SELECT user_id, te, value,
+        |         SUM(new_sess) OVER (PARTITION BY user_id ORDER BY te
+        |                             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sess_id
+        |  FROM (
+        |    SELECT user_id, te, value,
+        |           CASE WHEN prev IS NULL OR te - prev > 1800 * 1000000 THEN 1 ELSE 0 END AS new_sess
+        |    FROM (SELECT user_id, epoch_us(ts) AS te, value,
+        |                 lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY epoch_us(ts)) AS prev
+        |          FROM events)
+        |  )
+        |) GROUP BY user_id, sess_id""".stripMargin,
 
     "q_hex_cells" -> withCtes(
       """SELECT doc_id,
