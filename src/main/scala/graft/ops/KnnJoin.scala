@@ -61,7 +61,7 @@ object KnnJoin {
       .select(col(pId).as("neighbor_id"), col("lonm").as("p_lonm"), col("latm").as("p_latm"))
       .withColumn("__pcell", org.apache.spark.sql.graft.CellExpressions.cell_at(col("p_lonm") / 1000.0, col("p_latm") / 1000.0, level))
       .cache()
-    pts.count() // materialize once; probed every round
+    val nPts = pts.count() // materialize once; probed every round
 
     var remaining = queries
       .select(col(qId).as("query_id"), col("lonm").as("q_lonm"), col("latm").as("q_latm"))
@@ -109,11 +109,15 @@ object KnnJoin {
       val orphanQ = remaining.join(topk.select("query_id").distinct(),
         Seq("query_id"), "left_anti")
       val nextQ = unfinishedQ.unionByName(orphanQ).localCheckpoint()
-      if (nextQ.isEmpty) done = true
+      val nLeft = nextQ.count()
+      if (nLeft == 0) done = true
       else {
         remaining = nextQ
         carry = unfinished
           .select("query_id", "q_lonm", "q_latm", "__qcell", "neighbor_id", "d2")
+        // short-circuit: when the brute pass over the stragglers costs less
+        // than another ring round's fixed overhead, stop escalating
+        if (nLeft * nPts <= 50000000L) rounds = maxRounds
       }
       prevR = r
       r = math.min(r * 4, 1 << level)
