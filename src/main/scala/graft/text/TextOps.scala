@@ -107,6 +107,8 @@ object TextOps {
     val mins = docs
       .select(col("doc_id"), explode(shingles(tokens(col("text")), 3)).as("s"))
       .groupBy("doc_id").agg(min(h32(col("s"))).as("fp_min"))
+    // NOT broadcast: mins has one row per doc (same cardinality as the
+    // fact side) — at 100 TB this must stay a shuffle join
     docs.select(col("doc_id"), md5(col("text")).as("content_hash"))
       .join(mins, Seq("doc_id"), "left")
   }
