@@ -802,11 +802,18 @@ object SparkEntry {
          |GROUP BY ROLLUP(domain, kind, release, res, geocell)""".stripMargin,
       Pages.docPagesCte),
 
+    // pad2(x): pad to 2 but never truncate (mirrors Versions.pad2 / '{:02d}')
     "q_verkey" ->
       """SELECT o_orderkey AS okey,
-        |  'v' || lpad(CAST(3 + o_orderkey % 2 AS VARCHAR), 2, '0') ||
-        |         lpad(CAST(o_orderkey % 5 AS VARCHAR), 2, '0') ||
-        |         lpad(CAST(o_orderkey % 11 AS VARCHAR), 2, '0') AS verkey,
+        |  'v' || CASE WHEN length(CAST(3 + o_orderkey % 2 AS VARCHAR)) >= 2
+        |              THEN CAST(3 + o_orderkey % 2 AS VARCHAR)
+        |              ELSE lpad(CAST(3 + o_orderkey % 2 AS VARCHAR), 2, '0') END ||
+        |         CASE WHEN length(CAST(o_orderkey % 5 AS VARCHAR)) >= 2
+        |              THEN CAST(o_orderkey % 5 AS VARCHAR)
+        |              ELSE lpad(CAST(o_orderkey % 5 AS VARCHAR), 2, '0') END ||
+        |         CASE WHEN length(CAST(o_orderkey % 11 AS VARCHAR)) >= 2
+        |              THEN CAST(o_orderkey % 11 AS VARCHAR)
+        |              ELSE lpad(CAST(o_orderkey % 11 AS VARCHAR), 2, '0') END AS verkey,
         |  's2s' || lpad(string_split(s2s, '.')[1], 2, '0') ||
         |           coalesce(string_split(s2s, '.')[2], '0') AS release_ver
         |FROM (SELECT o_orderkey,
@@ -903,8 +910,9 @@ object SparkEntry {
         |       CAST(count(*) AS BIGINT) AS n_events, round(sum(value), 4) AS sum_value
         |FROM (
         |  SELECT user_id, te, value,
-        |         SUM(new_sess) OVER (PARTITION BY user_id ORDER BY te
-        |                             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sess_id
+        |         -- DuckDB window SUM(int) returns HUGEINT; Spark emits BIGINT
+        |         CAST(SUM(new_sess) OVER (PARTITION BY user_id ORDER BY te
+        |                             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS sess_id
         |  FROM (
         |    SELECT user_id, te, value,
         |           CASE WHEN prev IS NULL OR te - prev > 1800 * 1000000 THEN 1 ELSE 0 END AS new_sess

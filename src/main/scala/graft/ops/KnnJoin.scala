@@ -34,9 +34,11 @@ import graft.cells.Cells
 object KnnJoin {
 
   /** Cells with Chebyshev distance in (lo, hi] of the given cell — the slab
-    * explored in one round under geometric radius escalation. */
+    * explored in one round under geometric radius escalation. Distinct as a
+    * belt-and-braces guard (the radius cap in [[knn]] already prevents
+    * wrapped-cell collisions). */
   private val ringRangeUdf = udf((cell: Long, lo: Int, hi: Int) =>
-    ((lo + 1) to hi).flatMap(Cells.ringK(cell, _)).toArray)
+    ((lo + 1) to hi).flatMap(Cells.ringK(cell, _)).distinct.toArray)
 
   /** Squared lon-wrapped millidegree distance as a column expression. */
   def dist2(lonm1: org.apache.spark.sql.Column, latm1: org.apache.spark.sql.Column,
@@ -49,13 +51,23 @@ object KnnJoin {
 
   /** kNN of `queries` against `points`, both (id, lonm, latm) in integer
     * millidegrees. Self-join when `queries eq points` (self matches with
-    * identical id are excluded). Returns
+    * identical id are excluded — ONLY in self-join mode, so a non-self join
+    * keeps a point whose id happens to equal the query's). Returns
     * (query_id, neighbor_id, dist2, rn) with rn ∈ [1, k].
+    *
+    * `bruteThreshold`: when remaining_queries × points drops below it, stop
+    * escalating and finish the stragglers with the exact brute pass (the
+    * fixed per-round cost exceeds the brute cost). Tests set 0 to force
+    * late ring rounds.
     */
   def knn(spark: SparkSession, queries: DataFrame, points: DataFrame,
           qId: String, pId: String, k: Int, level: Int = 6,
-          maxRounds: Int = 3): DataFrame = {
+          maxRounds: Int = 3, bruteThreshold: Long = 50000000L): DataFrame = {
     val cellH = 180000L >> level // cell height in millidegrees (lat axis)
+    val selfJoin = queries eq points
+    // exclude self-matches only when joining a set against itself
+    def notSelf(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+      if (selfJoin) c else lit(true)
 
     val pts = points
       .select(col(pId).as("neighbor_id"), col("lonm").as("p_lonm"), col("latm").as("p_latm"))
@@ -71,7 +83,14 @@ object KnnJoin {
     // geometric radius escalation (x4): the explored disk radius grows
     // 1 -> 4 -> 16 -> ..., so sparse regions converge in O(log4 gridSize)
     // driver rounds; queries that exhaust the round budget fall through to
-    // an exact brute-force pass (rare stragglers only)
+    // an exact brute-force pass (rare stragglers only).
+    // Radius cap: ringK wraps longitude mod n, so rings with k >= n/2 emit
+    // cells whose wrapped identity equals a cell from an earlier/same slab —
+    // the same candidate would join twice and row_number would assign two
+    // ranks to one neighbor. Capping at n/2 - 1 keeps every (dx, dy) offset
+    // bijective with a wrapped cell; queries still unfinished at the cap go
+    // to the exact brute pass.
+    val maxR = math.max(1, (Cells.cellsPerAxis(level) / 2 - 1).toInt)
     var prevR = -1 // round 1 explores the home cell plus ring 1
     var r = 1
     var rounds = 0
@@ -81,7 +100,7 @@ object KnnJoin {
       val probes = remaining.withColumn("__cell",
         explode(ringRangeUdf(col("__qcell"), lit(prevR), lit(r))))
       val fresh = probes.join(pts, col("__cell") === col("__pcell"))
-        .filter(col("query_id") =!= col("neighbor_id"))
+        .filter(notSelf(col("query_id") =!= col("neighbor_id")))
         .select(col("query_id"), col("q_lonm"), col("q_latm"), col("__qcell"),
           col("neighbor_id"),
           dist2(col("q_lonm"), col("q_latm"), col("p_lonm"), col("p_latm")).as("d2"))
@@ -92,11 +111,9 @@ object KnnJoin {
         .filter(col("rn") <= k)
         .localCheckpoint() // one job; truncates the per-round lineage
       // termination bound: k-th distance within the guaranteed-searched
-      // radius; once the disk covers the whole grid every candidate set is
-      // complete, so the bound becomes infinite
-      val fullCover = r >= Cells.cellsPerAxis(level) - 1
-      val bound = if (fullCover) lit(Long.MaxValue) else lit((r * cellH) * (r * cellH))
-      val doneCol = if (fullCover) lit(true) else
+      // radius (points in any unexplored cell are at least r·cellH away)
+      val bound = lit((r * cellH) * (r * cellH))
+      val doneCol =
         count(lit(1)).over(Window.partitionBy("query_id")) >= k &&
           max(col("d2")).over(Window.partitionBy("query_id")) <= bound
       val flagged = topk.withColumn("__done", doneCol)
@@ -116,11 +133,12 @@ object KnnJoin {
         carry = unfinished
           .select("query_id", "q_lonm", "q_latm", "__qcell", "neighbor_id", "d2")
         // short-circuit: when the brute pass over the stragglers costs less
-        // than another ring round's fixed overhead, stop escalating
-        if (nLeft * nPts <= 50000000L) rounds = maxRounds
+        // than another ring round's fixed overhead, stop escalating; also
+        // stop once the radius cap is reached (no further ring can help)
+        if (nLeft * nPts <= bruteThreshold || r >= maxR) rounds = maxRounds
       }
       prevR = r
-      r = math.min(r * 4, 1 << level)
+      r = math.min(r * 4, maxR)
       rounds += 1
     }
     // stragglers: exact brute-force against all points (tiny side broadcast)
@@ -129,7 +147,7 @@ object KnnJoin {
     if (!done) {
       val brute = broadcast(remaining.select("query_id", "q_lonm", "q_latm"))
         .crossJoin(pts)
-        .filter(col("query_id") =!= col("neighbor_id"))
+        .filter(notSelf(col("query_id") =!= col("neighbor_id")))
         .select(col("query_id"), col("neighbor_id"),
           dist2(col("q_lonm"), col("q_latm"), col("p_lonm"), col("p_latm")).as("d2"))
       finishedParts += TopK.topK(spark, brute, k)

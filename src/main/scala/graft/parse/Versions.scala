@@ -18,14 +18,21 @@ object Versions {
     f"v${vl(0)}%02d${vl(1)}%02d${vl(2)}%02d"
   }
 
+  /** Pad to 2 but never truncate — Spark `lpad` truncates strings longer
+    * than the target, whereas the reference's `{:02d}` only pads, so a
+    * 3-digit component must pass through unchanged.
+    */
+  private def pad2(c: Column): Column =
+    when(length(c) >= 2, c).otherwise(lpad(c, 2, "0"))
+
   /** Column form of [[semverToVerkey]] — pure expressions, codegen-friendly. */
   def verkeyCol(semver: Column): Column = {
     val clean = regexp_replace(semver, "^SETSM ", "")
     val p = split(clean, "\\.")
     concat(lit("v"),
-      lpad(coalesce(try_element_at(p, lit(1)), lit("0")), 2, "0"),
-      lpad(coalesce(try_element_at(p, lit(2)), lit("0")), 2, "0"),
-      lpad(coalesce(try_element_at(p, lit(3)), lit("0")), 2, "0"))
+      pad2(coalesce(try_element_at(p, lit(1)), lit("0"))),
+      pad2(coalesce(try_element_at(p, lit(2)), lit("0"))),
+      pad2(coalesce(try_element_at(p, lit(3)), lit("0"))))
   }
 
   /** s2s → release version (/root/reference/lib/dem.py:1252-1264):
@@ -46,7 +53,7 @@ object Versions {
   def s2sReleaseCol(s2s: Column): Column = {
     val p = split(s2s, "\\.")
     concat(lit("s2s"),
-      lpad(try_element_at(p, lit(1)), 2, "0"),
+      pad2(try_element_at(p, lit(1))),
       coalesce(try_element_at(p, lit(2)), lit("0")))
   }
 }

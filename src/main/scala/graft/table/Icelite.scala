@@ -1,6 +1,7 @@
 package graft.table
 
-import java.nio.file.{Files, Path, Paths, StandardCopyOption}
+import java.nio.channels.FileChannel
+import java.nio.file.{Files, Path, Paths, StandardCopyOption, StandardOpenOption}
 import java.util.UUID
 import scala.jdk.CollectionConverters._
 import org.apache.spark.sql.{DataFrame, SparkSession}
@@ -98,26 +99,50 @@ object Icelite {
 
     val files = Files.list(dataDir).iterator().asScala
       .map(_.toString).filter(_.endsWith(".parquet")).toSeq.sorted
-    val id = currentSnapshotId(table).getOrElse(0L) + 1
-    val snap = Snapshot(id, uuid, files, rowCount, inputFingerprint, lineage)
 
-    val manifest = {
-      val fileArr = files.map(f => s""""$f"""").mkString("[", ",", "]")
-      val partArr = lineage.map(p =>
-        s"""{"pid":${p.partitionId},"rows":${p.rows},"checksum":${p.checksum}}""")
-        .mkString("[", ",", "]")
-      s"""{"id":$id,"uuid":"$uuid","rowCount":$rowCount,
-         |"inputFingerprint":"$inputFingerprint",
-         |"files":$fileArr,
-         |"partitions":$partArr}""".stripMargin
+    // Commit section: id allocation + manifest + pointer swap are serialized
+    // by an OS file lock so two concurrent committers can neither compute
+    // the same id nor drop each other's committed snapshot (on an object
+    // store this whole section maps to a conditional PUT of the pointer).
+    // The manifest is additionally written CREATE_NEW: ids never overwrite.
+    val lockCh = FileChannel.open(Paths.get(table, "_LOCK"),
+      StandardOpenOption.CREATE, StandardOpenOption.WRITE)
+    val lock = lockCh.lock()
+    try {
+      var id = currentSnapshotId(table).getOrElse(0L) + 1
+      var written = false
+      while (!written) {
+        val manifest = manifestJson(id, uuid, rowCount, inputFingerprint, files, lineage)
+        try {
+          Files.writeString(metaDir(table).resolve(s"snapshot-$id.json"),
+            manifest, StandardOpenOption.CREATE_NEW)
+          written = true
+        } catch {
+          case _: java.nio.file.FileAlreadyExistsException => id += 1
+        }
+      }
+      // atomic pointer swap — the actual commit
+      val tmp = Paths.get(table, s"_CURRENT.tmp.$uuid")
+      Files.writeString(tmp, id.toString)
+      Files.move(tmp, currentPtr(table), StandardCopyOption.ATOMIC_MOVE,
+        StandardCopyOption.REPLACE_EXISTING)
+      Snapshot(id, uuid, files, rowCount, inputFingerprint, lineage)
+    } finally {
+      lock.release(); lockCh.close()
     }
-    Files.writeString(metaDir(table).resolve(s"snapshot-$id.json"), manifest)
-    // atomic pointer swap — the actual commit
-    val tmp = Paths.get(table, s"_CURRENT.tmp.$uuid")
-    Files.writeString(tmp, id.toString)
-    Files.move(tmp, currentPtr(table), StandardCopyOption.ATOMIC_MOVE,
-      StandardCopyOption.REPLACE_EXISTING)
-    snap
+  }
+
+  private def manifestJson(id: Long, uuid: String, rowCount: Long,
+                           inputFingerprint: String, files: Seq[String],
+                           lineage: Seq[PartitionLineage]): String = {
+    val fileArr = files.map(f => s""""$f"""").mkString("[", ",", "]")
+    val partArr = lineage.map(p =>
+      s"""{"pid":${p.partitionId},"rows":${p.rows},"checksum":${p.checksum}}""")
+      .mkString("[", ",", "]")
+    s"""{"id":$id,"uuid":"$uuid","rowCount":$rowCount,
+       |"inputFingerprint":"$inputFingerprint",
+       |"files":$fileArr,
+       |"partitions":$partArr}""".stripMargin
   }
 
   /** Read the current snapshot's rows (only manifest-listed files — uncommitted

@@ -20,18 +20,30 @@ import org.apache.spark.sql.expressions.Window
   */
 object TextOps {
 
-  /** Non-empty whitespace tokens of a text column. */
+  /** Non-empty whitespace tokens of a text column. NOTE: `filter` is a HOF
+    * (CodegenFallback in Spark 4) — hot paths should pass `split(text, " ")`
+    * straight into [[shingleHashes]], whose kernel skips empty tokens itself.
+    */
   def tokens(text: Column): Column =
     filter(split(text, " "), w => w =!= "")
 
   /** First-32-bits-of-md5 as a positive long — the portable string hash
-    * (DuckDB: ('0x' || substr(md5(s),1,8))::BIGINT).
+    * (DuckDB: ('0x' || substr(md5(s),1,8))::BIGINT). Codegen kernel;
+    * bit-identical to `conv(substring(md5(s),1,8),16,10)`.
     */
   def h32(s: Column): Column =
-    conv(substring(md5(s), 1, 8), 16, 10).cast("long")
+    org.apache.spark.sql.graft.TextExpressions.h32(s)
+
+  /** h32 of every n-gram shingle of the text (tokenize → shingle → hash in
+    * ONE codegen kernel call; empty tokens skipped; <n tokens ⇒ empty array).
+    */
+  def shingleHashes(text: Column, n: Int): Column =
+    org.apache.spark.sql.graft.TextExpressions.shingle_hashes(split(text, " "), n)
 
   /** Word n-gram shingles as an array column (n consecutive tokens joined by
     * a single space). Rows with fewer than n tokens get an empty array.
+    * Interpreted (HOF) — kept for tests/oracle-shape parity; hot paths use
+    * [[shingleHashes]].
     */
   def shingles(toks: Column, n: Int): Column = {
     val idxs = when(size(toks) >= n, sequence(lit(1), size(toks) - (n - 1)))
@@ -102,16 +114,17 @@ object TextOps {
 
   /** Document fingerprint: full-content md5 plus the minimum 3-shingle hash
     * (a 1-permutation MinHash — the rolling-hash fingerprint analog).
+    *
+    * Entirely per-row (one kernel call hashes the doc's whole shingle set,
+    * array_min picks the fingerprint) — NO explode, NO shuffle, NO join.
+    * The previous explode→groupBy→join formulation was 35% of the round-1
+    * bench; fingerprinting is inherently per-document, so at 100 TB this is
+    * a pure narrow map over the scan. array_min of an empty array is null
+    * (docs with <3 tokens), matching the old left-join semantics.
     */
-  def fingerprint(docs: DataFrame): DataFrame = {
-    val mins = docs
-      .select(col("doc_id"), explode(shingles(tokens(col("text")), 3)).as("s"))
-      .groupBy("doc_id").agg(min(h32(col("s"))).as("fp_min"))
-    // NOT broadcast: mins has one row per doc (same cardinality as the
-    // fact side) — at 100 TB this must stay a shuffle join
-    docs.select(col("doc_id"), md5(col("text")).as("content_hash"))
-      .join(mins, Seq("doc_id"), "left")
-  }
+  def fingerprint(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), md5(col("text")).as("content_hash"),
+      array_min(shingleHashes(col("text"), 3)).as("fp_min"))
 
   /** Exact dedup: canonical row per identical text (hash-groupBy; group by
     * md5 so 100 TB shuffles 16-byte keys, not page bodies). Keeps the min
@@ -139,20 +152,17 @@ object TextOps {
     * the bucket join shuffles on (band, key) which is md5-uniform.
     */
   def minhashBands(docs: DataFrame): DataFrame = {
-    // explode + aggregate: the shingle md5 is computed ONCE per shingle (a
-    // per-row array formulation would inline the hash pipeline into all 16
-    // min expressions), and the groupBy combines map-side so the shuffle
-    // carries one partial row per (doc, partition)
-    val exploded = docs
-      .select(col("doc_id"), explode(shingles(tokens(col("text")), 3)).as("s"))
-      .select(col("doc_id"), h32(col("s")).as("h"))
-    val mins = (0 until NumHashes).map { j =>
-      min((col("h") * (2 * j + 1) + (12345 * j + 7)) % MinhashP).as(s"mh_$j")
-    }
-    val sig = exploded.groupBy("doc_id").agg(mins.head, mins.tail: _*)
+    // per-row kernel: ONE call hashes the doc's shingle set and folds all 16
+    // permutation minima — no explode, no groupBy, no shuffle. The signature
+    // is null for docs with no shingles (they must not emit bands).
+    val sig = docs.select(col("doc_id"),
+        org.apache.spark.sql.graft.TextExpressions.minhash_sig(
+          shingleHashes(col("text"), 3), NumHashes).as("sig"))
+      .filter(col("sig").isNotNull)
     val bands = (0 until NumHashes / BandRows).map { b =>
       struct(lit(b).as("band"),
-        concat_ws("_", (0 until BandRows).map(r => col(s"mh_${b * BandRows + r}")): _*).as("band_key"))
+        concat_ws("_", (0 until BandRows).map(r =>
+          element_at(col("sig"), b * BandRows + r + 1)): _*).as("band_key"))
     }
     sig.select(col("doc_id"), explode(array(bands: _*)).as("bk"))
       .select(col("doc_id"), col("bk.band").cast("long").as("band"),
@@ -174,20 +184,16 @@ object TextOps {
   /** SimHash: per-token 32-bit hash, per-bit ±1 votes summed over the
     * document, sign → bit. Duplicate tokens vote once per occurrence.
     * Output (doc_id, simhash).
+    *
+    * Per-row kernel (token hashes = 1-shingles): vote fold happens inside
+    * one codegen call — no explode, no 24-sum groupBy, no shuffle. Docs with
+    * no tokens yield null and are dropped (matching the explode semantics).
     */
-  def simhash(docs: DataFrame): DataFrame = {
-    val exploded = docs
-      .select(col("doc_id"), explode(tokens(col("text"))).as("w"))
-      .select(col("doc_id"), h32(col("w")).as("h"))
-    val votes = (0 until SimhashBits).map { i =>
-      sum(when(shiftright(col("h"), i).bitwiseAND(1) === 1, 1L).otherwise(-1L)).as(s"v_$i")
-    }
-    val voted = exploded.groupBy("doc_id").agg(votes.head, votes.tail: _*)
-    val sim = (0 until SimhashBits).map { i =>
-      when(col(s"v_$i") > 0, lit(1L << i)).otherwise(lit(0L))
-    }.reduce(_ + _)
-    voted.select(col("doc_id"), sim.as("simhash"))
-  }
+  def simhash(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"),
+        org.apache.spark.sql.graft.TextExpressions.simhash_sig(
+          shingleHashes(col("text"), 1), SimhashBits).as("simhash"))
+      .filter(col("simhash").isNotNull)
 
   /** (retired per-row-array formulation kept for reference tests) */
   private[text] def simhashArrayForm(docs: DataFrame): DataFrame = {
@@ -217,14 +223,21 @@ object TextOps {
                    maxShingleDf: Int = 1000): DataFrame = {
     // shuffle 8-byte shingle hashes, never shingle strings (at 100 TB the
     // strings would dominate the shuffle); set semantics via array_distinct
-    // before explode
+    // over the kernel-hashed shingle array
     val withSh = docs.select(col("doc_id"),
-      array_distinct(transform(shingles(tokens(col("text")), 3), s => h32(s))).as("sh"))
+      array_distinct(shingleHashes(col("text"), 3)).as("sh"))
       .withColumn("n_sh", size(col("sh")))
     val exploded = withSh.select(col("doc_id"), col("n_sh"), explode(col("sh")).as("s"))
-    val dfCut = Window.partitionBy(col("s"))
-    val pruned = exploded.withColumn("__df", count(lit(1)).over(dfCut))
-      .filter(col("__df") <= maxShingleDf).drop("__df")
+    // df-cut as a map-side-combinable aggregate + equi-join back — NOT a
+    // window: `count over (partition by s)` sorts every shingle occurrence,
+    // which is the scale-killer at 100 TB. The aggregate also prunes
+    // singleton shingles (df < 2 can't form a pair), shrinking the
+    // self-join input with zero semantic change.
+    val keep = exploded.groupBy("s")
+      .agg(count(lit(1)).as("__df"))
+      .filter(col("__df") >= 2 && col("__df") <= maxShingleDf)
+      .select("s")
+    val pruned = exploded.join(keep, Seq("s"))
     val a = pruned.as("a"); val b = pruned.as("b")
     a.join(b, col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id"))
       .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),

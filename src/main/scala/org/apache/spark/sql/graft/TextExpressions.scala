@@ -1,0 +1,223 @@
+// Lives under org.apache.spark.sql to access the private[sql] Column<->Expression
+// bridge (same pattern as CellExpressions).
+package org.apache.spark.sql.graft
+
+import java.security.MessageDigest
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.classic.ExpressionUtils
+import org.apache.spark.sql.functions.lit
+import org.apache.spark.sql.types.{ArrayType, DataType, LongType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Static text-hash kernels referenced from generated code. TOP-LEVEL object
+  * (static forwarders — see GraftKernels scaladoc).
+  *
+  * All hashes are md5-derived and engine-portable: h32(s) == DuckDB
+  * `('0x' || substr(md5(s), 1, 8))::BIGINT` == Spark
+  * `conv(substring(md5(s),1,8),16,10)` — the first four digest bytes as an
+  * unsigned 32-bit big-endian integer.
+  *
+  * Why kernels instead of column pipelines: the previous formulation
+  * (`conv(substring(md5(s),1,8),16,10)` per shingle, shingles via HOF
+  * `transform` + `concat_ws`) was the #1 bench cost — HOF lambdas are
+  * CodegenFallback (interpreted) in Spark 4, and the hash pipeline allocated
+  * three strings per shingle. Here a document's whole shingle set is hashed
+  * in ONE kernel call: tokens' bytes are fetched once, each shingle is
+  * assembled in a reused buffer, and the digest goes straight to a long.
+  */
+object GraftTextKernels {
+
+  val MinhashP = 1000000007L
+
+  private val md5Local = new ThreadLocal[MessageDigest] {
+    override def initialValue(): MessageDigest = MessageDigest.getInstance("MD5")
+  }
+
+  private def h32digest(md: MessageDigest): Long = {
+    val d = md.digest()
+    ((d(0) & 0xffL) << 24) | ((d(1) & 0xffL) << 16) |
+      ((d(2) & 0xffL) << 8) | (d(3) & 0xffL)
+  }
+
+  /** First-32-bits-of-md5 of a string's UTF-8 bytes as a non-negative long. */
+  def h32(s: UTF8String): Long = {
+    val md = md5Local.get(); md.reset()
+    md.update(s.getBytes)
+    h32digest(md)
+  }
+
+  /** h32 of every n-gram shingle (n consecutive non-empty tokens joined by a
+    * single space) of a token array. Empty tokens are skipped, so callers
+    * may pass a raw `split(text, ' ')` — the whole tokenize→shingle→hash
+    * pipeline then runs inside one codegen'd call. Fewer than n tokens ⇒
+    * empty array (matching the explode-drops-empty semantics).
+    */
+  def shingleHashes(toks: ArrayData, n: Int): ArrayData = {
+    val mAll = toks.numElements()
+    // collect non-empty token bytes once
+    var m = 0
+    val tb = new Array[Array[Byte]](mAll)
+    var i = 0
+    while (i < mAll) {
+      val t = toks.getUTF8String(i)
+      if (t != null && t.numBytes() > 0) { tb(m) = t.getBytes; m += 1 }
+      i += 1
+    }
+    val cnt = m - n + 1
+    if (cnt <= 0) return new GenericArrayData(Array.emptyLongArray)
+    // reused shingle buffer sized to the widest window
+    var winLen = n - 1
+    i = 0
+    while (i < n) { winLen += tb(i).length; i += 1 }
+    var maxLen = winLen
+    var j = n
+    while (j < m) {
+      winLen += tb(j).length - tb(j - n).length
+      if (winLen > maxLen) maxLen = winLen
+      j += 1
+    }
+    val buf = new Array[Byte](maxLen)
+    val out = new Array[Long](cnt)
+    val md = md5Local.get()
+    var s = 0
+    while (s < cnt) {
+      var pos = 0
+      var t = 0
+      while (t < n) {
+        if (t > 0) { buf(pos) = ' '; pos += 1 }
+        val b = tb(s + t)
+        System.arraycopy(b, 0, buf, pos, b.length)
+        pos += b.length
+        t += 1
+      }
+      md.reset(); md.update(buf, 0, pos)
+      out(s) = h32digest(md)
+      s += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  /** MinHash signature: per permutation j, min over hashes of
+    * `(h·(2j+1) + (12345j+7)) mod P`. Null on an empty hash set (the doc has
+    * no shingles — it must not appear in the signature table).
+    * No overflow: h < 2^32 and the multiplier < 2^6.
+    */
+  def minhashSig(hashes: ArrayData, numHashes: Int): ArrayData = {
+    val m = hashes.numElements()
+    if (m == 0) return null
+    val mins = Array.fill(numHashes)(Long.MaxValue)
+    var i = 0
+    while (i < m) {
+      val h = hashes.getLong(i)
+      var j = 0
+      while (j < numHashes) {
+        val v = (h * (2 * j + 1) + (12345L * j + 7)) % MinhashP
+        if (v < mins(j)) mins(j) = v
+        j += 1
+      }
+      i += 1
+    }
+    new GenericArrayData(mins)
+  }
+
+  /** SimHash signature over per-token hashes: bit b of the result is set iff
+    * the sum over tokens of ±1 (by bit b of the token hash) is positive.
+    * Null on an empty token set.
+    */
+  def simhashSig(hashes: ArrayData, bits: Int): java.lang.Long = {
+    val m = hashes.numElements()
+    if (m == 0) return null
+    val votes = new Array[Long](bits)
+    var i = 0
+    while (i < m) {
+      val h = hashes.getLong(i)
+      var b = 0
+      while (b < bits) {
+        votes(b) += (if (((h >> b) & 1L) == 1L) 1L else -1L)
+        b += 1
+      }
+      i += 1
+    }
+    var sig = 0L
+    var b = 0
+    while (b < bits) { if (votes(b) > 0) sig |= (1L << b); b += 1 }
+    sig
+  }
+}
+
+object TextExpressions {
+
+  private val K = "org.apache.spark.sql.graft.GraftTextKernels"
+  private val Kernels = GraftTextKernels
+
+  private val longArray = ArrayType(LongType, containsNull = false)
+
+  case class H32(child: Expression) extends UnaryExpression {
+    override def dataType: DataType = LongType
+    override protected def nullSafeEval(s: Any): Any =
+      Kernels.h32(s.asInstanceOf[UTF8String])
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, s => s"${ev.value} = $K.h32($s);")
+    override protected def withNewChildInternal(c: Expression): H32 = copy(child = c)
+  }
+
+  /** h32 of every n-shingle of a token array — array<string> × int → array<long>. */
+  case class ShingleHashes(left: Expression, right: Expression) extends BinaryExpression {
+    override def dataType: DataType = longArray
+    override protected def nullSafeEval(toks: Any, n: Any): Any =
+      Kernels.shingleHashes(toks.asInstanceOf[ArrayData], n.asInstanceOf[Int])
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, (toks, n) =>
+        s"${ev.value} = $K.shingleHashes($toks, $n);")
+    override protected def withNewChildrenInternal(l: Expression, r: Expression): ShingleHashes =
+      copy(left = l, right = r)
+  }
+
+  /** MinHash signature array (null when the input set is empty). */
+  case class MinhashSig(left: Expression, right: Expression) extends BinaryExpression {
+    override def dataType: DataType = longArray
+    override def nullable: Boolean = true
+    override protected def nullSafeEval(hashes: Any, k: Any): Any =
+      Kernels.minhashSig(hashes.asInstanceOf[ArrayData], k.asInstanceOf[Int])
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, (hashes, k) =>
+        s"""${ev.value} = $K.minhashSig($hashes, $k);
+           |${ev.isNull} = (${ev.value} == null);""".stripMargin)
+    override protected def withNewChildrenInternal(l: Expression, r: Expression): MinhashSig =
+      copy(left = l, right = r)
+  }
+
+  /** SimHash signature long (null when the input set is empty). */
+  case class SimhashSig(left: Expression, right: Expression) extends BinaryExpression {
+    override def dataType: DataType = LongType
+    override def nullable: Boolean = true
+    override protected def nullSafeEval(hashes: Any, bits: Any): Any =
+      Kernels.simhashSig(hashes.asInstanceOf[ArrayData], bits.asInstanceOf[Int])
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, (hashes, bits) =>
+        s"""java.lang.Long ${ev.value}_boxed = $K.simhashSig($hashes, $bits);
+           |${ev.isNull} = (${ev.value}_boxed == null);
+           |${ev.value} = ${ev.isNull} ? -1L : ${ev.value}_boxed.longValue();""".stripMargin)
+    override protected def withNewChildrenInternal(l: Expression, r: Expression): SimhashSig =
+      copy(left = l, right = r)
+  }
+
+  def h32(s: Column): Column =
+    ExpressionUtils.column(H32(ExpressionUtils.expression(s)))
+
+  def shingle_hashes(toks: Column, n: Int): Column =
+    ExpressionUtils.column(ShingleHashes(
+      ExpressionUtils.expression(toks), ExpressionUtils.expression(lit(n))))
+
+  def minhash_sig(hashes: Column, numHashes: Int): Column =
+    ExpressionUtils.column(MinhashSig(
+      ExpressionUtils.expression(hashes), ExpressionUtils.expression(lit(numHashes))))
+
+  def simhash_sig(hashes: Column, bits: Int): Column =
+    ExpressionUtils.column(SimhashSig(
+      ExpressionUtils.expression(hashes), ExpressionUtils.expression(lit(bits))))
+}

@@ -91,6 +91,51 @@ class OpsSpec extends SparkSpec {
     assert(got === expected)
   }
 
+  test("kNN ring escalation at a small level: no wrapped-cell duplicates") {
+    // level=3 -> 8 cells per lon axis; bruteThreshold=0 disables the brute
+    // short-circuit so rounds 2+ actually run up to the radius cap. Sparse
+    // points near the antimeridian force multi-round escalation — before the
+    // radius cap, wrapped ring cells re-joined the same candidate and
+    // row_number assigned two ranks to one neighbor.
+    val ptsSeq = (0L until 40L).map { i =>
+      val h1 = (i * 48271 + 11) % 2147483647L
+      val h2 = (h1 * 48271 + 17) % 2147483647L
+      val lonm = if (i % 4 == 0) 179000L + (h1 % 2000) - 1000L // antimeridian band
+                 else h1 % 360000L - 180000L
+      (i, lonm, h2 % 170000L - 85000L)
+    }
+    val pts = ptsSeq.toDF("id", "lonm", "latm")
+    val got = KnnJoin.knn(spark, pts, pts, "id", "id", k = 3, level = 3,
+        maxRounds = 6, bruteThreshold = 0L)
+      .select("query_id", "neighbor_id", "dist2", "rn")
+      .as[(Long, Long, Long, Int)].collect()
+    // no (query, neighbor) pair may appear twice
+    assert(got.length === got.map(t => (t._1, t._2)).distinct.length)
+    def d2(a: (Long, Long, Long), b: (Long, Long, Long)): Long = {
+      val adlon = math.abs(a._2 - b._2)
+      val dlon = math.min(adlon, 360000 - adlon)
+      val dlat = a._3 - b._3
+      dlon * dlon + dlat * dlat
+    }
+    val expected = (for (q <- ptsSeq) yield {
+      ptsSeq.filter(_._1 != q._1)
+        .map(p => (p._1, d2(q, p)))
+        .sortBy(t => (t._2, t._1))
+        .take(3).zipWithIndex
+        .map { case ((nid, d), idx) => (q._1, nid, d, idx + 1) }
+    }).flatten.toSet
+    assert(got.toSet === expected)
+  }
+
+  test("kNN non-self join keeps a neighbor whose id equals the query id") {
+    val qs = Seq((1L, 10000L, 10000L), (2L, 20000L, 20000L)).toDF("id", "lonm", "latm")
+    val ps = Seq((1L, 10100L, 10000L), (9L, 10200L, 10000L)).toDF("id", "lonm", "latm")
+    val got = KnnJoin.knn(spark, qs, ps, "id", "id", k = 2, level = 4, maxRounds = 10)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    // query 1 must keep point 1 (distinct datasets — not a self match)
+    assert(got.contains((1L, 1L)) && got.contains((1L, 9L)))
+  }
+
   test("kNN self-heals on hot cells (skewed cluster)") {
     // 200 points all inside one 1-degree cell + 10 sparse outliers
     val hot = (0L until 200L).map { i =>
