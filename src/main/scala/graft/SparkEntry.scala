@@ -81,6 +81,50 @@ object SparkEntry {
        |  FROM (SELECT *, greatest($names) AS __m FROM ivfd))""".stripMargin
   }
 
+  /** Shared CTE chain + body for the J9 STAC assembly oracle (mirrors
+    * StacDocs.itemAssembly; struct field order must match the Spark struct).
+    */
+  private lazy val stacAssemblyCtes: Seq[String] = Seq(
+    Ladder.stripsCte, Ladder.stripTapeCte, Ladder.stripStagingCte,
+    Ladder.releaseCte, Ladder.assetInfoCte,
+    """strip_all AS (
+      |  SELECT dem_id, stripdemid, s2s_ver, is_lsf, pairname, geocell, status FROM strip_staging
+      |  UNION ALL
+      |  SELECT sd.dem_id, sd.stripdemid, sd.s2s_ver, sd.is_lsf, sd.pairname, sd.geocell, 'tape'
+      |  FROM strip_tape sd
+      |  WHERE NOT EXISTS (SELECT 1 FROM strip_staging sds
+      |                    WHERE sds.dem_id = sd.dem_id
+      |                      AND sds.stripdemid = sd.stripdemid))""".stripMargin,
+    """canonical AS (
+      |  SELECT project || '-strips-s2s041-2m' AS collection, dem_id AS item_id,
+      |         dem_id, stripdemid
+      |  FROM release WHERE license = 'public')""".stripMargin,
+    """href AS (
+      |  SELECT c.collection, c.item_id,
+      |         concat_ws('/', 'https://opendata.example.org',
+      |           string_split(c.collection, '-')[1], string_split(c.collection, '-')[2],
+      |           string_split(c.collection, '-')[3], string_split(c.collection, '-')[4],
+      |           sa.geocell, c.item_id) || '.json' AS self_href
+      |  FROM canonical c
+      |  LEFT JOIN strip_all sa ON sa.dem_id = c.dem_id AND sa.stripdemid = c.stripdemid)""".stripMargin,
+    """primary_asset AS (
+      |  SELECT collection, item_id, gsd, proj_code FROM asset_info
+      |  WHERE asset_key = 'dem')""".stripMargin)
+
+  private lazy val stacAssemblyBody: String =
+    """SELECT c.collection, c.item_id,
+      |  to_json(struct_pack(
+      |    id := c.item_id, type := 'Feature', collection := c.collection,
+      |    geocell := sa.geocell, pairname := sa.pairname,
+      |    stripdemid := c.stripdemid, s2s_version := sa.s2s_ver,
+      |    status := sa.status,
+      |    gsd := coalesce(pa.gsd, -1), proj_code := coalesce(pa.proj_code, ''),
+      |    self_href := h.self_href)) AS doc
+      |FROM canonical c
+      |LEFT JOIN strip_all sa ON sa.dem_id = c.dem_id AND sa.stripdemid = c.stripdemid
+      |LEFT JOIN primary_asset pa ON pa.collection = c.collection AND pa.item_id = c.item_id
+      |LEFT JOIN href h ON h.collection = c.collection AND h.item_id = c.item_id""".stripMargin
+
   // --------------------------------------------------------- flagship
 
   /** Flagship on sf0.001: geocode the pages, shelve them into tiles via the
@@ -446,10 +490,90 @@ object SparkEntry {
     }),
 
     // --- hex cell assignment (cell_hex; the H3-analog ring-expandable grid)
-    "q_hex_cells" -> ((s, dir) => {
-      val hexUdf = udf((lon: Double, lat: Double) => graft.cells.HexGrid.hexAt(lon, lat, 2.0))
+    // pure column math (HexGrid.hexCol) — no UDF on the cell-encode path
+    "q_hex_cells" -> ((s, dir) =>
       Pages.fromDocuments(s, dir)
-        .select(col("doc_id"), hexUdf(col("lon"), col("lat")).as("cell_hex"))
+        .select(col("doc_id"),
+          graft.cells.HexGrid.hexCol(col("lon"), col("lat"), 2.0).as("cell_hex"))),
+
+    // --- J6/U2: strip_dem_all (staging UNION ALL tape-only NOT-EXISTS)
+    "q_strip_all" -> ((s, dir) =>
+      Canonical.stripAll(Ladder.stripStaging(s, dir), Ladder.stripTape(s, dir))
+        .select(col("dem_id"), col("stripdemid"), col("s2s_ver"),
+          col("is_lsf"), col("status"))),
+
+    // --- J8 over U2: the full strip pipeline — canonicalize strip_dem_all
+    // (the reference feeds strip_dem_master FROM strip_dem_all)
+    "q_strip_master_all" -> ((s, dir) =>
+      Canonical.stripMaster(
+          Canonical.stripAll(Ladder.stripStaging(s, dir), Ladder.stripTape(s, dir)))
+        .select(col("dem_id"), col("stripdemid"), col("s2s_ver"),
+          col("is_lsf"), col("status"))),
+
+    // --- J4: deprecation-flag left join on the canonical master
+    "q_depr_flag" -> ((s, dir) =>
+      Canonical.withDeprFlag(Canonical.sceneMaster(Ladder.scenes(s, dir)),
+          Ladder.deprecated(s, dir))
+        .select(col("scenedemid"), col("stripdemid"), col("is_depr"))),
+
+    // --- J10/S18: semi-join item fetch (temp id list ⋉ item table)
+    "q_item_fetch" -> ((s, dir) => {
+      val items = graft.ops.StacDocs.itemAssembly(
+        Ladder.release(s, dir),
+        Canonical.stripAll(Ladder.stripStaging(s, dir), Ladder.stripTape(s, dir)),
+        Ladder.assetInfo(s, dir))
+      val idList = items
+        .filter(expr("CAST(substring(item_id, 3) AS BIGINT) % 17 = 0"))
+        .select("collection", "item_id")
+      items.join(broadcast(idList), Seq("collection", "item_id"), "left_semi")
+        .select(col("collection"), col("item_id"))
+    }),
+
+    // --- J9: real STAC item assembly (multi-way composite-key left joins)
+    "q_stac_assembly" -> ((s, dir) =>
+      graft.ops.StacDocs.itemAssembly(
+        Ladder.release(s, dir),
+        Canonical.stripAll(Ladder.stripStaging(s, dir), Ladder.stripTape(s, dir)),
+        Ladder.assetInfo(s, dir))),
+
+    // --- U3: static items = strip items UNION ALL mosaic items
+    "q_stac_union" -> ((s, dir) =>
+      graft.ops.StacDocs.staticItems(
+        graft.ops.StacDocs.itemAssembly(
+          Ladder.release(s, dir),
+          Canonical.stripAll(Ladder.stripStaging(s, dir), Ladder.stripTape(s, dir)),
+          Ladder.assetInfo(s, dir)),
+        graft.ops.StacDocs.mosaicDocs(Pages.fromDocuments(s, dir)))),
+
+    // --- A11 full semantics: per-tile component id list + acq date span
+    "q_tile_components" -> ((s, dir) =>
+      Pages.fromDocuments(s, dir)
+        .withColumn("supertile", Tiling.degSupertile(col("lon"), col("lat"), 10))
+        .withColumn("pairname",
+          concat(lit("P"), lpad((col("doc_id") % 40).cast("string"), 2, "0")))
+        .groupBy("supertile")
+        .agg(
+          array_join(array_sort(collect_set(col("pairname"))), ",").as("pairname_ids"),
+          countDistinct(col("pairname")).as("n_pairs"),
+          min(col("warc_ts").cast("long")).as("acq_min_epoch"),
+          max(col("warc_ts").cast("long")).as("acq_max_epoch"))),
+
+    // --- O1/O2: deterministic sorted catalog children
+    "q_stac_children" -> ((s, dir) =>
+      graft.ops.StacDocs.orderedChildren(Pages.fromDocuments(s, dir), cap = 5)),
+
+    // --- P2: completeness predicate over file-size arrays
+    "q_complete" -> ((s, dir) => {
+      val o = s.read.parquet(s"$dir/orders.parquet")
+      val k = col("o_orderkey")
+      val demSizes = array(
+        when(k % 7 =!= 0, k % 5), lit(null).cast("long"), k % 3)
+      val reqSizes = array(
+        k % 4 + 1, when(k % 11 === 0, 0L).otherwise(3L),
+        when(k % 13 === 0, lit(null).cast("long")).otherwise(lit(2L)))
+      val optSizes = array(when(k % 6 === 0, 0L).otherwise(lit(null).cast("long")))
+      o.select(k.as("okey"),
+        graft.ops.Inclusion.isComplete(demSizes, reqSizes, optSizes).as("is_complete"))
     }),
 
     // --- S5: scaled-int band read (scale/offset except at nodata)
@@ -943,6 +1067,110 @@ object SparkEntry {
         |          FROM pages)
         |  )
         |)""".stripMargin, Pages.docPagesCte),
+
+    "q_strip_all" -> withCtes(
+      """SELECT dem_id, stripdemid, s2s_ver, is_lsf, status FROM strip_staging
+        |UNION ALL
+        |SELECT sd.dem_id, sd.stripdemid, sd.s2s_ver, sd.is_lsf, 'tape' AS status
+        |FROM strip_tape sd
+        |WHERE NOT EXISTS (SELECT 1 FROM strip_staging sds
+        |                  WHERE sds.dem_id = sd.dem_id
+        |                    AND sds.stripdemid = sd.stripdemid)""".stripMargin,
+      Ladder.stripsCte, Ladder.stripTapeCte, Ladder.stripStagingCte),
+
+    // single-pass windows are equivalent to the staged form: stage 1 keeps or
+    // drops whole stripdemid partitions, stage 2 whole (stripdemid, s2s_ver)
+    // partitions, so later-stage window values are unchanged by earlier filters
+    "q_strip_master_all" -> withCtes(
+      """SELECT dem_id, stripdemid, s2s_ver, is_lsf, status FROM (
+        |  SELECT *,
+        |    max(stripdemid) OVER (PARTITION BY substr(stripdemid, 1, length(stripdemid) - 8)) AS strip_max,
+        |    max(s2s_key) OVER (PARTITION BY stripdemid) AS s2s_max,
+        |    min(CAST(is_lsf AS INT)) OVER (PARTITION BY stripdemid, s2s_ver) AS min_lsf
+        |  FROM (SELECT *,
+        |          array_to_string(list_transform(string_split(s2s_ver, '.'), p -> lpad(p, 4, '0')), '.') AS s2s_key
+        |        FROM strip_all)
+        |) WHERE stripdemid = strip_max AND s2s_key = s2s_max AND CAST(is_lsf AS INT) = min_lsf""".stripMargin,
+      Ladder.stripsCte, Ladder.stripTapeCte, Ladder.stripStagingCte,
+      """strip_all AS (
+        |  SELECT dem_id, stripdemid, s2s_ver, is_lsf, pairname, geocell, status FROM strip_staging
+        |  UNION ALL
+        |  SELECT sd.dem_id, sd.stripdemid, sd.s2s_ver, sd.is_lsf, sd.pairname, sd.geocell, 'tape'
+        |  FROM strip_tape sd
+        |  WHERE NOT EXISTS (SELECT 1 FROM strip_staging sds
+        |                    WHERE sds.dem_id = sd.dem_id
+        |                      AND sds.stripdemid = sd.stripdemid))""".stripMargin),
+
+    "q_depr_flag" -> withCtes(
+      """SELECT m.scenedemid, m.stripdemid, (d.stripdemid IS NOT NULL) AS is_depr
+        |FROM m LEFT JOIN depr d ON m.stripdemid = d.stripdemid""".stripMargin,
+      Ladder.scenesCte, Ladder.deprecatedCte,
+      """m AS (SELECT a.scenedemid, a.stripdemid
+        |      FROM scenes a
+        |      JOIN (SELECT substr(b.stripdemid, 1, length(b.stripdemid) - 8) AS strip_nover,
+        |                   max(b.stripdemid) AS strip_max, b.is_dsp
+        |            FROM (SELECT DISTINCT stripdemid, is_dsp FROM scenes) b
+        |            GROUP BY strip_nover, b.is_dsp) c
+        |        ON a.stripdemid = c.strip_max AND a.is_dsp = c.is_dsp
+        |      WHERE a.is_dsp = false)""".stripMargin),
+
+    "q_item_fetch" -> withCtes(
+      """SELECT c.collection, c.item_id FROM canonical c
+        |WHERE EXISTS (SELECT 1 FROM canonical i
+        |              WHERE i.collection = c.collection AND i.item_id = c.item_id
+        |                AND CAST(substring(i.item_id, 3) AS BIGINT) % 17 = 0)""".stripMargin,
+      Ladder.stripsCte, Ladder.releaseCte,
+      """canonical AS (
+        |  SELECT project || '-strips-s2s041-2m' AS collection, dem_id AS item_id,
+        |         dem_id, stripdemid
+        |  FROM release WHERE license = 'public')""".stripMargin),
+
+    "q_stac_assembly" -> withCtes(
+      stacAssemblyBody, stacAssemblyCtes: _*),
+
+    "q_stac_union" -> withCtes(
+      s"""$stacAssemblyBody
+         |UNION ALL
+         |SELECT 'webdem-mosaics-v4.1-2m' AS collection, geocell AS item_id,
+         |  to_json(struct_pack(id := geocell, type := 'Feature',
+         |                      collection := 'webdem-mosaics-v4.1-2m',
+         |                      n_items := CAST(count(*) AS BIGINT),
+         |                      x0 := min(lonm))) AS doc
+         |FROM (SELECT $geocellSql AS geocell, lonm FROM pages)
+         |GROUP BY geocell""".stripMargin,
+      (stacAssemblyCtes :+ Pages.docPagesCte): _*),
+
+    "q_tile_components" -> withCtes(
+      """SELECT CAST(CAST(floor(lat / 10) AS INT) AS VARCHAR) || '_' ||
+        |       CAST(CAST(floor(lon / 10) AS INT) AS VARCHAR) AS supertile,
+        |       array_to_string(list_sort(list(DISTINCT pairname)), ',') AS pairname_ids,
+        |       CAST(count(DISTINCT pairname) AS BIGINT) AS n_pairs,
+        |       min(1704067200 + doc_id) AS acq_min_epoch,
+        |       max(1704067200 + doc_id) AS acq_max_epoch
+        |FROM (SELECT *, 'P' || lpad(CAST(doc_id % 40 AS VARCHAR), 2, '0') AS pairname
+        |      FROM pages)
+        |GROUP BY 1""".stripMargin, Pages.docPagesCte),
+
+    "q_stac_children" -> withCtes(
+      s"""SELECT $geocellSql AS geocell,
+         |       CAST(count(*) AS BIGINT) AS n_children,
+         |       array_to_string(list_sort(list(DISTINCT url))[1:5], ',') AS first_children
+         |FROM pages GROUP BY 1""".stripMargin, Pages.docPagesCte),
+
+    "q_complete" ->
+      """SELECT o_orderkey AS okey,
+        |  (len(list_filter(dem, x -> x IS NOT NULL)) > 0
+        |   AND len(list_filter(dem, x -> x IS NOT NULL AND NOT (x > 0))) = 0
+        |   AND len(list_filter(req, x -> x IS NULL OR NOT (x > 0))) = 0
+        |   AND len(list_filter(opt, x -> x IS NOT NULL AND NOT (x > 0))) = 0) AS is_complete
+        |FROM (SELECT o_orderkey,
+        |        [CASE WHEN o_orderkey % 7 <> 0 THEN o_orderkey % 5 END,
+        |         NULL, o_orderkey % 3] AS dem,
+        |        [o_orderkey % 4 + 1,
+        |         CASE WHEN o_orderkey % 11 = 0 THEN 0 ELSE 3 END,
+        |         CASE WHEN o_orderkey % 13 = 0 THEN NULL ELSE 2 END] AS req,
+        |        [CASE WHEN o_orderkey % 6 = 0 THEN 0 ELSE NULL END] AS opt
+        |      FROM orders)""".stripMargin,
 
     "q_scaled_band" ->
       """SELECT vec_id,

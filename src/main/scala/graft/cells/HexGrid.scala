@@ -1,5 +1,8 @@
 package graft.cells
 
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
 /** Axial-coordinate hexagonal grid over the equirectangular lon/lat plane —
   * the engine's H3-analog ring-expandable cell scheme (`cell_hex`).
   *
@@ -41,6 +44,26 @@ object HexGrid {
   def hexAt(x: Double, y: Double, s: Double): Long = {
     val (q, r) = axialAt(x, y, s)
     hexId(q, r)
+  }
+
+  /** Pure-column form of [[hexAt]] — the scalar math is plain arithmetic so
+    * no UDF is needed (encoder-serialization-free, codegen-fused). IEEE op
+    * order mirrors [[axialAt]] and the DuckDB oracle exactly; `round` halves
+    * cannot occur (qf/rf carry irrational factors), so SQL HALF_UP and
+    * `math.round` agree on every reachable input.
+    */
+  def hexCol(lon: Column, lat: Column, s: Double): Column = {
+    val qf = (lit(Sqrt3) / 3.0 * lon - lit(1.0) / 3.0 * lat) / s
+    val rf = (lit(2.0) / 3.0 * lat) / s
+    val yf = -qf - rf
+    val rx0 = round(qf).cast("long")
+    val ry0 = round(yf).cast("long")
+    val rz0 = round(rf).cast("long")
+    val dx = abs(rx0 - qf); val dy = abs(ry0 - yf); val dz = abs(rz0 - rf)
+    val cond1 = dx > dy && dx > dz
+    val rx = when(cond1, -ry0 - rz0).otherwise(rx0)
+    val rz = when(!cond1 && !(dy > dz), -rx0 - ry0).otherwise(rz0)
+    (rx + (1L << 30)) * (1L << 32) + (rz + (1L << 30))
   }
 
   private val Directions = Array((1L, 0L), (1L, -1L), (0L, -1L), (-1L, 0L), (-1L, 1L), (0L, 1L))

@@ -41,31 +41,48 @@ object IndexJob {
     */
   def recordIdCol(cols: Column*): Column = concat_ws("|", cols: _*)
 
+  /** P6 width predicate shared by the keep/reject paths. */
+  def widthOk(widths: Map[String, Int]): Column =
+    widths.map { case (c, w) => length(col(c)) <= w }.reduce(_ && _)
+
   /** P6 — field-width validation (index_setsm.py:1099-1116): rows whose
     * string field exceeds the declared layer width are skipped, counted via
     * observed metrics (A13's invalid_record_cnt as df.observe, SURVEY §4).
     */
   def validateWidths(df: DataFrame, widths: Map[String, Int]): DataFrame = {
-    val ok = widths.map { case (c, w) => length(col(c)) <= w }.reduce(_ && _)
+    val ok = widthOk(widths)
     df.observe("index_metrics",
         sum(when(!ok, 1L).otherwise(0L)).as("invalid_record_cnt"),
         count(lit(1)).as("total_record_cnt"))
       .filter(ok)
   }
 
+  /** O3 — capped error side-output (index_setsm.py:1150-1156: only the first
+    * 30 duplicate/invalid errors are logged). `limit` after the filter plans
+    * a per-partition LocalLimit, so at scale this never materializes the full
+    * reject set.
+    */
+  def errorSample(df: DataFrame, widths: Map[String, Int], cap: Int = 30): DataFrame =
+    df.filter(!widthOk(widths))
+      .select(col("record_id"),
+        lit("value too long for field width").as("error"))
+      .limit(cap)
+
   /** The index row projection: web page → index record (the graft analog of
     * SCENE_ATTRIBUTE_DEFINITIONS, lib/utils.py:329-374 — identity key, group
     * key, centroid, cells, status, location, index date).
+    * All-expression projection — the cell encode is the codegen
+    * CellExpressions.cell_at, NOT a Scala UDF (no per-row encoder
+    * serialization on the flagship path).
     */
   def indexRows(pages: DataFrame): DataFrame = {
-    val cellUdf = udf((lon: Double, lat: Double) => Cells.cellAt(lon, lat, 12))
     pages.select(
       col("url"),
       col("doc_id"),
       recordIdCol(col("url"), col("lang"), col("doc_id")).as("record_id"),
       col("lon"), col("lat"),
       Cells.geocellCol(col("lon"), col("lat")).as("geocell"),
-      cellUdf(col("lon"), col("lat")).as("cell_id"),
+      org.apache.spark.sql.graft.CellExpressions.cell_at(col("lon"), col("lat"), 12).as("cell_id"),
       customPathCol(concat(col("lang"), lit("_"), col("url"))).as("location"),
       col("lang"), col("source"),
       sha2(col("text"), 256).as("text_sha"),
@@ -86,11 +103,20 @@ object IndexJob {
       index.groupBy("geocell").agg(count(lit(1)).as("n"))
     }
     counts.count() // materialize
-    // metrics table (A13): invalid/total record counters persisted as a
-    // snapshot row next to the data they describe
+    // O3: capped invalid-row sample as its own snapshot (first 30 errors)
+    pipe.stage("errors", fp) {
+      errorSample(indexRows(pages), Map("url" -> 256, "geocell" -> 7, "record_id" -> 512))
+    }
+    // metrics table (A13): derived from the snapshot manifests the stages
+    // already committed — indexRows is a 1:1 projection, so
+    // total = pages rowCount; NO extra source pass
     import spark.implicits._
-    val total = indexRows(pages).count()
-    val valid = Icelite.read(spark, s"$workRoot/index").count()
+    def rowCount(name: String): Long = {
+      val t = s"$workRoot/$name"
+      Icelite.readManifest(t, Icelite.currentSnapshotId(t).get).rowCount
+    }
+    val total = rowCount("pages")
+    val valid = rowCount("index")
     pipe.stage("metrics", fp) {
       Seq((fp, total, valid, total - valid))
         .toDF("input_fingerprint", "total_record_cnt", "valid_record_cnt", "invalid_record_cnt")

@@ -93,6 +93,38 @@ object Canonical {
       .drop("__s2s_key", "__s2s_max", "__min_lsf")
   }
 
+  /** J6 + U2 — strip_dem_all
+    * (/root/reference/sql/create_view_strip_dem_all.sql:50-103):
+    * staging rows UNION ALL tape rows that are NOT on staging (anti-join on
+    * the (dem_id, stripdemid) pair), with the tape side's status overridden
+    * to the literal 'tape'. This is the table [[stripMaster]] canonicalizes
+    * in the reference pipeline.
+    *
+    * Scale: the anti-join shuffles both sides on the composite key once; the
+    * union is free (no shuffle).
+    */
+  def stripAll(staging: DataFrame, tape: DataFrame): DataFrame = {
+    val keys = Seq("dem_id", "stripdemid")
+    val tapeOnly = tape
+      .join(staging.select(keys.map(col): _*).distinct(), keys, "left_anti")
+      .withColumn("status", lit("tape"))
+    staging.unionByName(tapeOnly)
+  }
+
+  /** J4 — deprecation-flag left join
+    * (/root/reference/sql/create_view_scene_dem_master.sql:37,48-49):
+    * `is_depr = (d.stripdemid IS NOT NULL)` after a LEFT JOIN against the
+    * DISTINCT deprecated-strip list. The list is tiny relative to the fact
+    * side — broadcast it.
+    */
+  def withDeprFlag(df: DataFrame, deprecated: DataFrame): DataFrame =
+    df.join(
+        broadcast(deprecated.select("stripdemid").distinct()
+          .withColumn("__depr", lit(true))),
+        Seq("stripdemid"), "left")
+      .withColumn("is_depr", col("__depr").isNotNull)
+      .drop("__depr")
+
   /** A7 — gen-time span per strip
     * (/root/reference/sql/create_view_strip_dem_gentime.sql:1-7). */
   def gentimeSpan(scenes: DataFrame): DataFrame =

@@ -57,7 +57,8 @@ object Ladder {
       |)""".stripMargin
 
   /** Strip rows for the 3-stage canonical rule (J8): same stripdemid ladder
-    * plus s2s_ver ∈ {3, 4, 4.2, 4.10} and is_lsf.
+    * plus s2s_ver ∈ {3, 4, 4.2, 4.10}, is_lsf, and the enrichment columns
+    * the STAC assembly joins need (pairname, geocell).
     */
   def strips(spark: SparkSession, sfDir: String): DataFrame = {
     val o = spark.read.parquet(s"$sfDir/orders.parquet")
@@ -74,7 +75,10 @@ object Ladder {
         .when(col("o_orderkey") % 4 === 1, "4")
         .when(col("o_orderkey") % 4 === 2, "4.2")
         .otherwise("4.10").as("s2s_ver"),
-      (col("o_orderkey") % 3 === 0).as("is_lsf"))
+      (col("o_orderkey") % 3 === 0).as("is_lsf"),
+      concat(lit("P"), lpad((col("o_custkey") % 40).cast("string"), 2, "0")).as("pairname"),
+      concat(lit("n"), lpad((col("o_orderkey") % 89).cast("string"), 2, "0"),
+        lit("e"), lpad((col("o_orderkey") % 179).cast("string"), 3, "0")).as("geocell"))
   }
 
   val stripsCte: String =
@@ -89,9 +93,93 @@ object Ladder {
       |              WHEN o_orderkey % 4 = 1 THEN '4'
       |              WHEN o_orderkey % 4 = 2 THEN '4.2'
       |              ELSE '4.10' END AS s2s_ver,
-      |         (o_orderkey % 3 = 0) AS is_lsf
+      |         (o_orderkey % 3 = 0) AS is_lsf,
+      |         'P' || lpad(CAST(o_custkey % 40 AS VARCHAR), 2, '0') AS pairname,
+      |         'n' || lpad(CAST(o_orderkey % 89 AS VARCHAR), 2, '0') ||
+      |         'e' || lpad(CAST(o_orderkey % 179 AS VARCHAR), 3, '0') AS geocell
       |  FROM orders
       |)""".stripMargin
+
+  // ------------------------------------------ strip tape/staging split (U2)
+
+  private def stripKey = expr("CAST(substring(dem_id, 3) AS BIGINT)")
+
+  /** Strip tape rows: every 3rd strip (by orderkey), status carried as
+    * 'online' — the strip_dem_all view overrides it to 'tape'. */
+  def stripTape(spark: SparkSession, sfDir: String): DataFrame =
+    strips(spark, sfDir).withColumn("status", lit("online"))
+      .filter(stripKey % 3 === 0)
+
+  /** Strip staging rows: the rest, plus every 6th (deliberate tape overlap so
+    * the NOT EXISTS of create_view_strip_dem_all.sql:100-103 actually bites). */
+  def stripStaging(spark: SparkSession, sfDir: String): DataFrame =
+    strips(spark, sfDir).withColumn("status", lit("online"))
+      .filter(stripKey % 3 =!= 0 || stripKey % 6 === 0)
+
+  val stripTapeCte: String =
+    """strip_tape AS (SELECT *, 'online' AS status FROM strips
+      |  WHERE CAST(substring(dem_id, 3) AS BIGINT) % 3 = 0)""".stripMargin
+
+  val stripStagingCte: String =
+    """strip_staging AS (SELECT *, 'online' AS status FROM strips
+      |  WHERE CAST(substring(dem_id, 3) AS BIGINT) % 3 <> 0
+      |     OR CAST(substring(dem_id, 3) AS BIGINT) % 6 = 0)""".stripMargin
+
+  // --------------------------------------- release + asset-info dims (J9)
+
+  /** strip_dem_release analog: project/license per dem (license gate =
+    * canonical_strips CTE of create_view_stac_strip_item.sql:2-13). */
+  def release(spark: SparkSession, sfDir: String): DataFrame = {
+    val base = strips(spark, sfDir)
+    base.select(col("dem_id"), col("stripdemid"),
+      when(stripKey % 3 === 0, "arcticdem")
+        .when(stripKey % 3 === 1, "earthdem").otherwise("rema").as("project"),
+      when(stripKey % 5 === 0, "private").otherwise("public").as("license"))
+  }
+
+  val releaseCte: String =
+    """release AS (
+      |  SELECT dem_id, stripdemid,
+      |         CASE CAST(CAST(substring(dem_id, 3) AS BIGINT) % 3 AS INT)
+      |           WHEN 0 THEN 'arcticdem' WHEN 1 THEN 'earthdem' ELSE 'rema' END AS project,
+      |         CASE WHEN CAST(substring(dem_id, 3) AS BIGINT) % 5 = 0
+      |              THEN 'private' ELSE 'public' END AS license
+      |  FROM strips
+      |)""".stripMargin
+
+  /** stac_raster_asset_info analog: two asset rows (dem, hillshade) per
+    * released item, keyed (collection, item_id) like the reference table. */
+  def assetInfo(spark: SparkSession, sfDir: String): DataFrame =
+    release(spark, sfDir)
+      .select(concat(col("project"), lit("-strips-s2s041-2m")).as("collection"),
+        col("dem_id").as("item_id"),
+        explode(array(lit("dem"), lit("hillshade"))).as("asset_key"),
+        (stripKey.cast("long") % 10 + 1).as("gsd"),
+        concat(lit("EPSG:"), (lit(32601) + stripKey % 60).cast("string")).as("proj_code"))
+
+  val assetInfoCte: String =
+    """asset_info AS (
+      |  SELECT CASE CAST(CAST(substring(dem_id, 3) AS BIGINT) % 3 AS INT)
+      |           WHEN 0 THEN 'arcticdem' WHEN 1 THEN 'earthdem' ELSE 'rema' END
+      |           || '-strips-s2s041-2m' AS collection,
+      |         dem_id AS item_id,
+      |         unnest(['dem', 'hillshade']) AS asset_key,
+      |         CAST(CAST(substring(dem_id, 3) AS BIGINT) % 10 + 1 AS BIGINT) AS gsd,
+      |         'EPSG:' || CAST(32601 + CAST(substring(dem_id, 3) AS BIGINT) % 60 AS VARCHAR) AS proj_code
+      |  FROM strips
+      |)""".stripMargin
+
+  // ------------------------------------------------ deprecation list (J4)
+
+  /** stripdemid_deprecated analog: every 13th scene's strip id. */
+  def deprecated(spark: SparkSession, sfDir: String): DataFrame =
+    scenes(spark, sfDir)
+      .filter(expr("CAST(substring(scenedemid, 3) AS BIGINT) % 13 = 0"))
+      .select("stripdemid").distinct()
+
+  val deprecatedCte: String =
+    """depr AS (SELECT DISTINCT stripdemid FROM scenes
+      |  WHERE CAST(substring(scenedemid, 3) AS BIGINT) % 13 = 0)""".stripMargin
 
   /** Tape/staging split for the U1/J5 pipeline: tape = every 3rd order;
     * staging = the others plus every 6th (deliberate tape collisions),

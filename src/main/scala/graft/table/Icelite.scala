@@ -145,6 +145,36 @@ object Icelite {
        |"partitions":$partArr}""".stripMargin
   }
 
+  /** S17 — MERGE-style idempotent upsert commit (the snapshot-table analog of
+    * `INSERT … ON CONFLICT DO UPDATE`,
+    * /root/reference/extract_stac_metadata.py:133-198): dedup the incoming
+    * batch on its primary key, drop current-snapshot rows whose PK collides
+    * (incoming wins — DO UPDATE), union, and commit as the next snapshot.
+    *
+    * Idempotent: re-running the same merge converges to the same row set
+    * (modulo snapshot id), and a crash before the pointer swap leaves the
+    * previous snapshot intact (half-written data dirs are invisible to
+    * readers — commit protocol above).
+    *
+    * Scale: one anti-join on the PK (both sides shuffle once on the key);
+    * the base side at 100 TB would be partition-pruned by PK range in a real
+    * object-store layout — here the semantics are what matters.
+    */
+  def merge(spark: SparkSession, df: DataFrame, table: String,
+            pkCols: Seq[String], inputFingerprint: String = ""): Snapshot = {
+    val incoming = df.dropDuplicates(pkCols)
+    val merged = currentSnapshotId(table) match {
+      case Some(_) =>
+        read(spark, table)
+          .join(incoming.select(pkCols.map(col): _*).distinct(), pkCols, "left_anti")
+          .unionByName(incoming)
+      case None => incoming
+    }
+    // safe to stream from the current snapshot: commit() writes to a fresh
+    // uuid dir, so the plan's input files are never overwritten mid-scan
+    commit(spark, merged, table, inputFingerprint)
+  }
+
   /** Read the current snapshot's rows (only manifest-listed files — uncommitted
     * data dirs are invisible).
     */

@@ -89,4 +89,75 @@ class IceliteSpec extends SparkSpec {
     val validated = IndexJob.validateWidths(df, Map("s" -> 10))
     assert(validated.count() === 1)
   }
+
+  test("error sample is capped at 30 (O3, index_setsm.py:1150-1156)") {
+    val df = (1 to 100).map(i => (s"r$i-${"x" * 20}", i)).toDF("record_id", "x")
+    val errs = IndexJob.errorSample(df, Map("record_id" -> 10), cap = 30)
+    assert(errs.count() === 30)
+  }
+
+  test("MERGE upsert: incoming wins on PK collision, novel rows append (S17)") {
+    val t = tmpDir() + "/m1"
+    Icelite.merge(spark, Seq((1L, "a"), (2L, "b")).toDF("id", "v"), t, Seq("id"))
+    Icelite.merge(spark, Seq((2L, "B2"), (3L, "c")).toDF("id", "v"), t, Seq("id"))
+    val got = Icelite.read(spark, t).as[(Long, String)].collect().toSet
+    assert(got === Set((1L, "a"), (2L, "B2"), (3L, "c")))
+  }
+
+  test("MERGE is idempotent: re-running the same batch converges (S17)") {
+    val t = tmpDir() + "/m2"
+    val batch = Seq((1L, "a"), (2L, "b")).toDF("id", "v")
+    Icelite.merge(spark, batch, t, Seq("id"))
+    val once = Icelite.read(spark, t).as[(Long, String)].collect().toSet
+    Icelite.merge(spark, batch, t, Seq("id"))
+    val twice = Icelite.read(spark, t).as[(Long, String)].collect().toSet
+    assert(once === twice)
+    assert(Icelite.currentSnapshotId(t) === Some(2L)) // new snapshot, same rows
+  }
+
+  test("MERGE dedups the incoming batch on PK (ON CONFLICT within a batch)") {
+    val t = tmpDir() + "/m3"
+    Icelite.merge(spark, Seq((1L, "a"), (1L, "a2")).toDF("id", "v"), t, Seq("id"))
+    assert(Icelite.read(spark, t).count() === 1)
+  }
+
+  test("crash mid-merge (data written, no manifest) leaves table intact; re-run converges") {
+    val t = tmpDir() + "/m4"
+    Icelite.merge(spark, Seq((1L, "a")).toDF("id", "v"), t, Seq("id"))
+    // simulate a crash after the data write but before the manifest/pointer:
+    // a stray uuid data dir with rows that must stay invisible
+    val stray = Paths.get(t, "data", "crashed-merge-uuid")
+    Seq((9L, "ghost")).toDF("id", "v").write.parquet(stray.toString)
+    assert(Icelite.read(spark, t).as[(Long, String)].collect().toSet === Set((1L, "a")))
+    // re-running the interrupted merge converges to the intended state
+    Icelite.merge(spark, Seq((9L, "g2")).toDF("id", "v"), t, Seq("id"))
+    assert(Icelite.read(spark, t).as[(Long, String)].collect().toSet
+      === Set((1L, "a"), (9L, "g2")))
+  }
+
+  test("path-list source expands txt lists, dirs, and single files (S3)") {
+    val root = Files.createTempDirectory("pathlist")
+    val sub = Files.createDirectories(root.resolve("sub"))
+    Files.writeString(root.resolve("a_dem.tif"), "x")
+    Files.writeString(sub.resolve("b_dem.tif"), "x")
+    Files.writeString(sub.resolve("c_meta.txt"), "x")
+    val list = root.resolve("paths.txt")
+    Files.writeString(list,
+      s"""# comment
+         |${root.resolve("a_dem.tif")}
+         |$sub
+         |${root.resolve("a_dem.tif")}
+         |not-matching.bin
+         |""".stripMargin)
+    val got = graft.sources.PathList.expand(spark, list.toString, "_dem.tif")
+      .as[String].collect().toSet
+    assert(got === Set(root.resolve("a_dem.tif").toString, sub.resolve("b_dem.tif").toString))
+    // dir mode
+    val dirGot = graft.sources.PathList.expand(spark, root.toString, "_dem.tif")
+      .as[String].collect().toSet
+    assert(dirGot === got)
+    // single-file mode
+    assert(graft.sources.PathList.expand(spark, root.resolve("a_dem.tif").toString, "_dem.tif")
+      .count() === 1)
+  }
 }
