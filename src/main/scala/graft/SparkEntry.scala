@@ -576,6 +576,20 @@ object SparkEntry {
         graft.ops.Inclusion.isComplete(demSizes, reqSizes, optSizes).as("is_complete"))
     }),
 
+    // --- skew: salted hot-key join == plain join (semantics oracle; the
+    // timing evidence lives in SkewBench / BENCH.md). The two hot geocells
+    // hold 20% of rows by construction (graft.pages.Pages scaladoc).
+    "q_salted_join" -> ((s, dir) => {
+      val pages = Pages.fromLineitem(s, dir)
+        .withColumn("geocell", Cells.geocellCol(col("lon"), col("lat")))
+      val dim = pages.select("geocell").distinct()
+        .withColumn("attr", length(col("geocell")).cast("long"))
+      graft.ops.SkewJoin.saltedJoin(pages, dim, "geocell",
+          hot = Seq("n51e012"), saltFactor = 8, saltSource = col("page_id"))
+        .groupBy("geocell")
+        .agg(count(lit(1)).as("n"), max(col("attr")).as("max_attr"))
+    }),
+
     // --- S5: scaled-int band read (scale/offset except at nodata)
     "q_scaled_band" -> ((s, dir) => {
       val em = s.read.parquet(s"$dir/embeddings.parquet")
@@ -1171,6 +1185,16 @@ object SparkEntry {
         |         CASE WHEN o_orderkey % 13 = 0 THEN NULL ELSE 2 END] AS req,
         |        [CASE WHEN o_orderkey % 6 = 0 THEN 0 ELSE NULL END] AS opt
         |      FROM orders)""".stripMargin,
+
+    "q_salted_join" -> withCtes(
+      s"""SELECT p.geocell, CAST(count(*) AS BIGINT) AS n,
+         |       CAST(max(d.attr) AS BIGINT) AS max_attr
+         |FROM pg p JOIN (SELECT DISTINCT geocell, CAST(length(geocell) AS BIGINT) AS attr
+         |                FROM pg) d
+         |  ON p.geocell = d.geocell
+         |GROUP BY p.geocell""".stripMargin,
+      Pages.lineitemPagesCte,
+      s"pg AS (SELECT *, $geocellSql AS geocell FROM pages)"),
 
     "q_scaled_band" ->
       """SELECT vec_id,
