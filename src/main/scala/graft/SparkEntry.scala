@@ -516,15 +516,19 @@ object SparkEntry {
           Ladder.deprecated(s, dir))
         .select(col("scenedemid"), col("stripdemid"), col("is_depr"))),
 
-    // --- J10/S18: semi-join item fetch (temp id list ⋉ item table)
+    // --- J10/S18: semi-join item fetch (temp id list ⋉ item table). The id
+    // list is built independently of the item table (the reference loads a
+    // temp table of requested ids) so the assembly pipeline runs once.
     "q_item_fetch" -> ((s, dir) => {
       val items = graft.ops.StacDocs.itemAssembly(
         Ladder.release(s, dir),
         Canonical.stripAll(Ladder.stripStaging(s, dir), Ladder.stripTape(s, dir)),
         Ladder.assetInfo(s, dir))
-      val idList = items
-        .filter(expr("CAST(substring(item_id, 3) AS BIGINT) % 17 = 0"))
-        .select("collection", "item_id")
+      val idList = Ladder.release(s, dir)
+        .filter(col("license") === "public" &&
+          expr("CAST(substring(dem_id, 3) AS BIGINT) % 17 = 0"))
+        .select(concat(col("project"), lit("-strips-s2s041-2m")).as("collection"),
+          col("dem_id").as("item_id"))
       items.join(broadcast(idList), Seq("collection", "item_id"), "left_semi")
         .select(col("collection"), col("item_id"))
     }),
@@ -582,12 +586,64 @@ object SparkEntry {
     "q_salted_join" -> ((s, dir) => {
       val pages = Pages.fromLineitem(s, dir)
         .withColumn("geocell", Cells.geocellCol(col("lon"), col("lat")))
+        .select("page_id", "geocell")
       val dim = pages.select("geocell").distinct()
         .withColumn("attr", length(col("geocell")).cast("long"))
       graft.ops.SkewJoin.saltedJoin(pages, dim, "geocell",
           hot = Seq("n51e012"), saltFactor = 8, saltSource = col("page_id"))
         .groupBy("geocell")
         .agg(count(lit(1)).as("n"), max(col("attr")).as("max_attr"))
+    }),
+
+    // --- S7 parser differential: parse(render(fields)) == fields. The meta
+    // text is rendered from order columns, parsed by the real scene-meta
+    // parser, and the extracted fields must equal the oracle's direct
+    // computation — if the parser mangles anything, the hash diverges.
+    "q_meta_parse" -> ((s, dir) => {
+      val o = s.read.parquet(s"$dir/orders.parquet")
+      val k = col("o_orderkey")
+      val meta = concat(
+        lit("Image 1=img_"), k.cast("string"), lit(".tif\n"),
+        lit("Group Version=SETSM "), (lit(3) + k % 2).cast("string"),
+        lit("."), (k % 5).cast("string"), lit("\n"),
+        lit("Output Projection='+proj=longlat +a="), (k % 100).cast("string"),
+        lit(" +b=2'\n"),
+        lit("Creation Date=2024-01-"), lpad((lit(1) + k % 28).cast("string"), 2, "0"))
+      val m = graft.parse.MetaParsers.sceneMetaUdf(meta)
+      o.select(k.as("okey"),
+        try_element_at(m, lit("Image 1")).as("image1"),
+        try_element_at(m, lit("Group Version")).as("group_version"),
+        try_element_at(m, lit("Output Projection")).as("out_proj"),
+        try_element_at(m, lit("Creation Date")).as("cr_date"))
+    }),
+
+    // --- S8 parser differential: nested BEGIN_GROUP/END_GROUP mdf doc
+    "q_mdf_parse" -> ((s, dir) => {
+      val o = s.read.parquet(s"$dir/orders.parquet")
+      val k = col("o_orderkey")
+      val mdf = concat(
+        lit("BEGIN_GROUP = IMAGE_1\n"),
+        lit("  satId = \"WV0"), (lit(1) + k % 3).cast("string"), lit("\";\n"),
+        lit("  meanSunEl = "), (k % 90).cast("string"), lit(";\n"),
+        lit("END_GROUP = IMAGE_1\n"),
+        lit("version = \"28."), (k % 4).cast("string"), lit("\";"))
+      val m = graft.parse.MetaParsers.mdfUdf(mdf)
+      o.select(k.as("okey"),
+        try_element_at(m, lit("IMAGE_1_satId")).as("sat_id"),
+        try_element_at(m, lit("IMAGE_1_meanSunEl")).as("mean_sun_el"),
+        try_element_at(m, lit("version")).as("version"))
+    }),
+
+    // --- S11: from_json record source (schema-typed JSON decode)
+    "q_from_json" -> ((s, dir) => {
+      val o = s.read.parquet(s"$dir/orders.parquet")
+      val k = col("o_orderkey")
+      val js = concat(lit("{\"a\": "), k % 97, lit(", \"b\": \"v"),
+        (k % 13).cast("string"), lit("\", \"nest\": {\"c\": "), k % 7, lit("}}"))
+      val parsed = from_json(js, org.apache.spark.sql.types.StructType.fromDDL(
+        "a BIGINT, b STRING, nest STRUCT<c: BIGINT>"))
+      o.select(k.as("okey"), parsed.getField("a").as("a"),
+        parsed.getField("b").as("b"), parsed.getField("nest").getField("c").as("c"))
     }),
 
     // --- S5: scaled-int band read (scale/offset except at nodata)
@@ -1195,6 +1251,29 @@ object SparkEntry {
          |GROUP BY p.geocell""".stripMargin,
       Pages.lineitemPagesCte,
       s"pg AS (SELECT *, $geocellSql AS geocell FROM pages)"),
+
+    "q_meta_parse" ->
+      """SELECT o_orderkey AS okey,
+        |  'img_' || CAST(o_orderkey AS VARCHAR) || '.tif' AS image1,
+        |  'SETSM ' || CAST(3 + o_orderkey % 2 AS VARCHAR) || '.' ||
+        |    CAST(o_orderkey % 5 AS VARCHAR) AS group_version,
+        |  '''+proj=longlat +a=' || CAST(o_orderkey % 100 AS VARCHAR) || ' +b=2''' AS out_proj,
+        |  '2024-01-' || lpad(CAST(1 + o_orderkey % 28 AS VARCHAR), 2, '0') AS cr_date
+        |FROM orders""".stripMargin,
+
+    "q_mdf_parse" ->
+      """SELECT o_orderkey AS okey,
+        |  'WV0' || CAST(1 + o_orderkey % 3 AS VARCHAR) AS sat_id,
+        |  CAST(o_orderkey % 90 AS VARCHAR) AS mean_sun_el,
+        |  '28.' || CAST(o_orderkey % 4 AS VARCHAR) AS version
+        |FROM orders""".stripMargin,
+
+    "q_from_json" ->
+      """SELECT o_orderkey AS okey,
+        |  CAST(o_orderkey % 97 AS BIGINT) AS a,
+        |  'v' || CAST(o_orderkey % 13 AS VARCHAR) AS b,
+        |  CAST(o_orderkey % 7 AS BIGINT) AS c
+        |FROM orders""".stripMargin,
 
     "q_scaled_band" ->
       """SELECT vec_id,

@@ -24,11 +24,19 @@ object Cells {
 
   // ------------------------------------------------------------- geocell
 
-  /** Geocell of a lon/lat as a Column expression (pure column math — no UDF).
-    * Exact semantics of lib/dem.py:747-752: letter by sign, number by
-    * abs(floor(coord)).
+  /** Geocell of a lon/lat as a Column (codegen kernel expression — one
+    * static call, no UDF). Exact semantics of lib/dem.py:747-752: letter by
+    * sign, number by abs(floor(coord)). A single call instead of a
+    * concat/lpad tree: join-key null checks inline the expression into
+    * Filter conditions several times, and Filter codegen has no
+    * subexpression elimination — the tree form measured 6× a salted join's
+    * entire cost.
     */
   def geocellCol(lon: Column, lat: Column): Column =
+    org.apache.spark.sql.graft.CellExpressions.geocell_expr(lon, lat)
+
+  /** The old pure-column form (kept for plan-shape tests / documentation). */
+  def geocellColumnForm(lon: Column, lat: Column): Column =
     concat(
       when(lat >= 0, lit("n")).otherwise(lit("s")),
       lpad(abs(floor(lat)).cast("int").cast("string"), 2, "0"),

@@ -96,6 +96,11 @@ object KnnJoin {
     var rounds = 0
     var done = false
 
+    // NOTE: no up-front brute short-circuit — measured 3× slower than ring
+    // round 1 at bench scale (the dense mass resolves in one cheap
+    // cell-equi-join round; a 25M-pair typed-aggregator cross product does
+    // not beat it). The in-loop short-circuit below only fires once the
+    // REMAINING straggler set is small.
     while (!done && rounds < maxRounds) {
       val probes = remaining.withColumn("__cell",
         explode(ringRangeUdf(col("__qcell"), lit(prevR), lit(r))))

@@ -43,6 +43,13 @@ object SkewJoin {
       .withColumn("__salt", explode(
         when(isHot, sequence(lit(0), lit(saltFactor - 1)))
           .otherwise(array(lit(0)))))
-    bigS.join(replicas, Seq(key, "__salt"), "inner").drop("__salt")
+    // A salted join is by definition a SHUFFLE join (if the small side
+    // broadcast, there'd be no skew to salt). The hint also guards against a
+    // real mis-plan: the explode wrecks the replicas' size estimate, and a
+    // narrow-projected big side can look "smaller" — Spark then broadcasts
+    // the FACT side (measured: a 600k-row driver-built hashed relation,
+    // ~4x the whole query's runtime). Build side = replicas.
+    bigS.join(replicas.hint("shuffle_hash"), Seq(key, "__salt"), "inner")
+      .drop("__salt")
   }
 }

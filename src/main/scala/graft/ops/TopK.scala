@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.{DataFrame, Encoder, Encoders, SparkSession}
+import org.apache.spark.sql.{DataFrame, Encoder, SparkSession}
 import org.apache.spark.sql.expressions.Aggregator
 import org.apache.spark.sql.functions._
 
@@ -18,26 +18,52 @@ object TopK {
 
   type Entry = (Long, Long) // (d2, neighbor_id) — ordering = smaller is better
 
-  /** Max-heap of the current k best (worst on top for O(log k) eviction). */
-  class Heap(val k: Int) extends Serializable {
-    val pq = scala.collection.mutable.PriorityQueue.empty[Entry](
-      Ordering.Tuple2[Long, Long]) // max-first on (d2, id)
-    def add(e: Entry): this.type = {
-      if (pq.size < k) pq.enqueue(e)
-      else if (Ordering.Tuple2[Long, Long].lt(e, pq.head)) { pq.dequeue(); pq.enqueue(e) }
-      this
-    }
-    def merge(o: Heap): this.type = { o.pq.foreach(add); this }
-    def result: Seq[Entry] = pq.toSeq.sorted
-  }
+  /** Bounded top-k buffer as a FLAT Array[Long] of (d2, id) pairs (≤ k pairs,
+    * unordered). The buffer crosses the shuffle between partial and final
+    * aggregation, so its encoder matters: a flat long array is a primitive
+    * unsafe-array write (~10× cheaper than the former
+    * `Encoders.javaSerialization` heap object). Inserts are O(k) worst-pair
+    * scans — k is small (≤ tens) and the common case is "not better than the
+    * worst", a single scan with no write.
+    */
+  class TopKAgg(k: Int)(implicit bufEnc: Encoder[Array[Long]],
+                        outEnc: Encoder[Seq[Entry]])
+      extends Aggregator[(Long, Long), Array[Long], Seq[Entry]] {
 
-  class TopKAgg(k: Int)(implicit outEnc: Encoder[Seq[Entry]])
-      extends Aggregator[(Long, Long), Heap, Seq[Entry]] {
-    override def zero: Heap = new Heap(k)
-    override def reduce(h: Heap, e: (Long, Long)): Heap = h.add((e._1, e._2))
-    override def merge(a: Heap, b: Heap): Heap = a.merge(b)
-    override def finish(h: Heap): Seq[Entry] = h.result
-    override def bufferEncoder: Encoder[Heap] = Encoders.javaSerialization[Heap]
+    override def zero: Array[Long] = Array.emptyLongArray
+
+    private def worse(d1: Long, i1: Long, d2: Long, i2: Long): Boolean =
+      d1 > d2 || (d1 == d2 && i1 > i2)
+
+    override def reduce(b: Array[Long], e: (Long, Long)): Array[Long] = {
+      if (b.length < 2 * k) {
+        val nb = java.util.Arrays.copyOf(b, b.length + 2)
+        nb(b.length) = e._1; nb(b.length + 1) = e._2
+        nb
+      } else {
+        // replace the worst pair if the new entry beats it
+        var wi = 0
+        var i = 2
+        while (i < b.length) {
+          if (worse(b(i), b(i + 1), b(wi), b(wi + 1))) wi = i
+          i += 2
+        }
+        if (worse(b(wi), b(wi + 1), e._1, e._2)) { b(wi) = e._1; b(wi + 1) = e._2 }
+        b
+      }
+    }
+
+    override def merge(a: Array[Long], b: Array[Long]): Array[Long] = {
+      var r = a
+      var i = 0
+      while (i < b.length) { r = reduce(r, (b(i), b(i + 1))); i += 2 }
+      r
+    }
+
+    override def finish(b: Array[Long]): Seq[Entry] =
+      b.grouped(2).map(p => (p(0), p(1))).toSeq.sorted
+
+    override def bufferEncoder: Encoder[Array[Long]] = bufEnc
     override def outputEncoder: Encoder[Seq[Entry]] = outEnc
   }
 

@@ -60,6 +60,16 @@ object GraftKernels {
     def tileId(lon: Double, lat: Double): org.apache.spark.unsafe.types.UTF8String =
       org.apache.spark.unsafe.types.UTF8String.fromString(Cells.tileId(lon, lat))
 
+    /** Geocell (lib/dem.py:747-752) as ONE static call. The pure-column
+      * concat/lpad form is semantically identical but is a sizeable Catalyst
+      * tree: pushed-down join-key null checks inline such trees several
+      * times into Filter conditions, where codegen performs no
+      * subexpression elimination (measured 6× the whole query's cost on a
+      * salted join). A kernel call keeps every copy cheap.
+      */
+    def geocell(lon: Double, lat: Double): org.apache.spark.unsafe.types.UTF8String =
+      org.apache.spark.unsafe.types.UTF8String.fromString(Cells.geocell(lon, lat))
+
     /** Exact dot product of two equal-length long arrays (integer-quantized
       * embeddings) — allocation-free. */
     def dotLongs(a: ArrayData, b: ArrayData): Long = {
@@ -156,6 +166,19 @@ object CellExpressions {
       copy(left = l, right = r)
   }
 
+  /** Geocell string via the static kernel (see GraftKernels.geocell). */
+  case class GeocellExpr(left: Expression, right: Expression)
+      extends org.apache.spark.sql.catalyst.expressions.BinaryExpression {
+    override def dataType: DataType = org.apache.spark.sql.types.StringType
+    override def nullable: Boolean = left.nullable || right.nullable
+    override protected def nullSafeEval(lon: Any, lat: Any): Any =
+      Kernels.geocell(lon.asInstanceOf[Double], lat.asInstanceOf[Double])
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, (lon, lat) => s"${ev.value} = $K.geocell($lon, $lat);")
+    override protected def withNewChildrenInternal(l: Expression, r: Expression): GeocellExpr =
+      copy(left = l, right = r)
+  }
+
   /** Integer dot product of two array<long> columns, codegen-fused. */
   case class DotLongs(left: Expression, right: Expression)
       extends org.apache.spark.sql.catalyst.expressions.BinaryExpression {
@@ -172,6 +195,11 @@ object CellExpressions {
   def dot_longs(a: Column, b: Column): Column =
     ExpressionUtils.column(DotLongs(
       ExpressionUtils.expression(a), ExpressionUtils.expression(b)))
+
+  def geocell_expr(lon: Column, lat: Column): Column =
+    ExpressionUtils.column(GeocellExpr(
+      ExpressionUtils.expression(lon.cast("double")),
+      ExpressionUtils.expression(lat.cast("double"))))
 
   def tile_id(lon: Column, lat: Column): Column =
     ExpressionUtils.column(TileIdExpr(
