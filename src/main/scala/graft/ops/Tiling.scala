@@ -57,6 +57,28 @@ object Tiling {
       (count(lit(1)) / lit(step.toDouble * step / 4)).as("density"))
   }
 
+  /** S10 — density cache (/root/reference/lib/dem.py:1231-1250 reads
+    * density.txt when present instead of recomputing the raster aggregation;
+    * :876-880 writes it). Spark shape: the per-geocell density stats are an
+    * Icelite side table keyed by the input fingerprint — a re-run with the
+    * same input reads the committed snapshot, skipping the aggregation.
+    * `masked_density` analog: fraction of rows passing the quality mask
+    * (n_chars above threshold), mirroring the reference's masked variant.
+    */
+  def densityStats(pages: DataFrame, maskMinChars: Int = 40): DataFrame =
+    pages
+      .withColumn("geocell", Cells.geocellCol(col("lon"), col("lat")))
+      .groupBy("geocell")
+      .agg(count(lit(1)).as("n"),
+        // geocell area analog = 1 square degree
+        (count(lit(1)) / lit(1.0)).as("density"),
+        (sum(when(col("n_chars") >= maskMinChars, 1L).otherwise(0L)).cast("double")
+          / count(lit(1))).as("masked_density"))
+
+  def densityCached(spark: org.apache.spark.sql.SparkSession, pages: DataFrame,
+                    root: String, fingerprint: String): DataFrame =
+    new graft.table.Pipeline(spark, root).stage("density", fingerprint)(densityStats(pages))
+
   /** Shelf writer: range-partition by the shelf key then write one directory
     * per key — the Spark materialization of the reference's
     * link-or-copy-into-folder shelving (/root/reference/lib/utils.py:704-752).

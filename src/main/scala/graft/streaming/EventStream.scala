@@ -35,6 +35,18 @@ object EventStream {
       .select(col("window.start").cast("long").as("hr_epoch"),
         col("event_type"), col("n"), col("sum_value"))
 
+  /** Streaming exact dedup on the record id — the training-ingest "have we
+    * seen this document before" gate. `dropDuplicatesWithinWatermark` keys
+    * state by event_id and evicts entries once the watermark passes, so
+    * state stays bounded by (arrival skew × ingest rate), not by history —
+    * the property that makes this runnable forever at 100 TB/day.
+    */
+  def streamingDedup(events: DataFrame): DataFrame =
+    events
+      .withColumn("ts", col("ts").cast("timestamp"))
+      .withWatermark("ts", "2 hours")
+      .dropDuplicatesWithinWatermark("event_id")
+
   /** Per-user sessionization: a session closes after `gapSeconds` of
     * inactivity (event-time, driven by the watermark).
     */

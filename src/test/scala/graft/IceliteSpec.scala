@@ -135,6 +135,23 @@ class IceliteSpec extends SparkSpec {
       === Set((1L, "a"), (9L, "g2")))
   }
 
+  test("density cache: recompute skipped on matching fingerprint (S10)") {
+    val root = tmpDir()
+    val pages = graft.pages.Pages.fromDocuments(spark, Sf)
+    val first = graft.ops.Tiling.densityCached(spark, pages, root, s"pages:$Sf")
+      .as[(String, Long, Double, Double)].collect().toSet
+    val firstSnap = Icelite.currentSnapshotId(s"$root/density")
+    // second call with the same fingerprint must NOT commit a new snapshot
+    val second = graft.ops.Tiling.densityCached(spark, pages, root, s"pages:$Sf")
+      .as[(String, Long, Double, Double)].collect().toSet
+    assert(Icelite.currentSnapshotId(s"$root/density") === firstSnap)
+    assert(first === second)
+    // and the cached values equal a direct computation
+    val direct = graft.ops.Tiling.densityStats(pages)
+      .as[(String, Long, Double, Double)].collect().toSet
+    assert(first === direct)
+  }
+
   test("path-list source expands txt lists, dirs, and single files (S3)") {
     val root = Files.createTempDirectory("pathlist")
     val sub = Files.createDirectories(root.resolve("sub"))
@@ -159,5 +176,9 @@ class IceliteSpec extends SparkSpec {
     // single-file mode
     assert(graft.sources.PathList.expand(spark, root.resolve("a_dem.tif").toString, "_dem.tif")
       .count() === 1)
+    // S1 depth bound: maxDepth=1 sees only the root level, not sub/
+    val shallow = graft.sources.PathList.expand(spark, root.toString, "_dem.tif", maxDepth = 1)
+      .as[String].collect().toSet
+    assert(shallow === Set(root.resolve("a_dem.tif").toString))
   }
 }

@@ -61,4 +61,40 @@ class PlanSpec extends SparkSpec {
     val plan = planOf(q)
     assert(!plan.contains("Join"), "window form must not reintroduce self-joins")
   }
+
+  test("index projection contains no Scala UDF (flagship hot path)") {
+    val plan = planOf(graft.jobs.IndexJob.indexRows(Pages.fromDocuments(spark, Sf)))
+    assert(!plan.contains("UDF("), s"no UDF on the index path:\n${plan.take(1500)}")
+  }
+
+  test("hex cell assignment contains no Scala UDF") {
+    val plan = planOf(SparkEntry.queries("q_hex_cells")(spark, Sf))
+    assert(!plan.contains("UDF("))
+  }
+
+  test("fingerprint / minhash / simhash are shuffle-free narrow maps") {
+    for (q <- Seq("q_fingerprint", "q_minhash_bands", "q_simhash")) {
+      val plan = planOf(SparkEntry.queries(q)(spark, Sf))
+      assert(!plan.contains("Exchange"), s"$q must not shuffle:\n${plan.take(1200)}")
+      assert(!plan.contains("Join"), s"$q must not join")
+    }
+  }
+
+  test("salted join is a shuffle join with the replica side as build side") {
+    val plan = planOf(SparkEntry.queries("q_salted_join")(spark, Sf))
+    assert(plan.contains("ShuffledHashJoin") || plan.contains("SortMergeJoin"),
+      s"salted join must not broadcast the fact side:\n${plan.take(1200)}")
+    assert(!plan.contains("BroadcastHashJoin"))
+  }
+
+  test("STAC assembly left joins stay composite-key equi-joins (no cartesian)") {
+    val plan = planOf(SparkEntry.queries("q_stac_assembly")(spark, Sf))
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"),
+      s"assembly must be equi-joins only:\n${plan.take(1200)}")
+  }
+
+  test("semi-join fetch plans a LeftSemi with a broadcast id list") {
+    val plan = planOf(SparkEntry.queries("q_item_fetch")(spark, Sf))
+    assert(plan.contains("LeftSemi"), s"expected LeftSemi:\n${plan.take(1200)}")
+  }
 }

@@ -36,6 +36,22 @@ class StreamingSpec extends SparkSpec {
     assert(got.size === 3) // h0:click(n=2), h1:view, h2:click
   }
 
+  test("streaming dedup drops re-deliveries within the watermark") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Event]
+    val q = EventStream.streamingDedup(input.toDF())
+      .writeStream.format("memory").queryName("dedup")
+      .outputMode("append").start()
+    input.addData(Event(1, ts(0), 1, "click", 1.0), Event(2, ts(1), 1, "view", 2.0))
+    q.processAllAvailable()
+    // re-delivery of event 1 in a later micro-batch (within watermark) + a new event
+    input.addData(Event(1, ts(0), 1, "click", 1.0), Event(3, ts(2), 2, "click", 3.0))
+    q.processAllAvailable()
+    q.stop()
+    val ids = spark.table("dedup").select("event_id").as[Long].collect().sorted
+    assert(ids.toSeq === Seq(1L, 2L, 3L))
+  }
+
   test("sessionization closes sessions after the inactivity gap") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[Event]
