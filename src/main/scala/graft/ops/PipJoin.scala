@@ -80,10 +80,16 @@ object PipJoin {
     * window count over pointId) shuffles every matched row — measured ~4.6 s
     * of non-scaling shuffle IO at 77M rows; this form shuffles nothing.
     */
+  /** @param broadcastCells false ⇒ shuffle fallback: when the per-cell
+    *   candidate table outgrows broadcast (a planet-wide fine-level tile set),
+    *   both sides hash-shuffle on the long cell id instead — the exactly-one
+    *   pick still runs map-side after the join, and AQE skew-split covers hot
+    *   cells. Same output, one extra exchange of the point keys.
+    */
   def shelve(points: DataFrame, polys: DataFrame,
              pointId: String, lon: String, lat: String,
              polyId: String, ring: String,
-             level: Int = 8): DataFrame = {
+             level: Int = 8, broadcastCells: Boolean = true): DataFrame = {
     val covered = polys
       .select(col(polyId), col(ring).as("__ring"))
       .withColumn("__cov", explode(coverUdf(col("__ring"), lit(level))))
@@ -103,7 +109,9 @@ object PipJoin {
       when(!isFast, col("__cands")).as("__slowcands"))
     val pts = points.withColumn("__cell",
       CellExpressions.cell_at(col(lon), col(lat), level))
-    pts.join(broadcast(byCell2), Seq("__cell"), "inner")
+    val cellSide = if (broadcastCells) broadcast(byCell2)
+                   else byCell2.hint("shuffle_hash")
+    pts.join(cellSide, Seq("__cell"), "inner")
       .withColumn(polyId, coalesce(col("__fastpid"),
         CellExpressions.shelve_pick(col("__slowcands"), col(lon), col(lat))))
       .filter(col(polyId).isNotNull)

@@ -31,6 +31,21 @@ class ShufflePathSpec extends SparkSpec {
     assert(bc.nonEmpty)
   }
 
+  test("shelve shuffle fallback equals the broadcast form and plans a shuffle join") {
+    val pts = Pages.fromDocuments(spark, Sf)
+    val tiles = Pages.tiles(spark).withColumn("ring",
+      PipJoin.rectRing(col("x0"), col("y0"), col("x1"), col("y1")))
+    val bc = PipJoin.shelve(pts, tiles, "doc_id", "lon", "lat", "tile_name", "ring")
+      .select("doc_id", "tile_name").as[(Long, String)].collect().toSet
+    val sh = PipJoin.shelve(pts, tiles, "doc_id", "lon", "lat", "tile_name", "ring",
+      broadcastCells = false)
+    val plan = sh.queryExecution.executedPlan.toString
+    assert(plan.contains("ShuffledHashJoin") && !plan.contains("BroadcastHashJoin"),
+      s"fallback must shuffle, not broadcast:\n${plan.take(1200)}")
+    assert(sh.select("doc_id", "tile_name").as[(Long, String)].collect().toSet === bc)
+    assert(bc.nonEmpty)
+  }
+
   test("shelf writer materializes one directory per shelf key") {
     val out = Files.createTempDirectory("shelf").toString + "/t"
     val pages = Pages.fromDocuments(spark, Sf)
