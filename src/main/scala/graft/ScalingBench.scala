@@ -68,19 +68,67 @@ object ScalingBench {
       .agg(count(lit(1)).as("n"), countDistinct(col("tile_id")).as("n_tiles"))
   }
 
-  def timeAt(cores: Int, path: String, compute: Boolean = false): (Double, Long) = {
+  /** Workload-realistic compute-dense variant: the reference reprojects
+    * every record's geometry (index_setsm.py:986-1030) on top of the tiling
+    * math — per-row work here = tile projection + CRS forward/inverse
+    * roundtrip with residual check. The simple pipeline is DRAM-bound on one
+    * socket; the heavier the per-row compute, the closer local thread
+    * scaling tracks the multi-executor scaling a real cluster sees.
+    */
+  def headlineHeavyPlan(spark: SparkSession, path: String): DataFrame = {
+    val geo = spark.read.parquet(path)
+    val tiles = Pages.tiles(spark).withColumn("ring",
+      PipJoin.rectRing(col("x0"), col("y0"), col("x1"), col("y1")))
+    val shelved = PipJoin.shelve(geo, tiles, "page_id", "lon", "lat", "tile_name", "ring")
+    graft.ops.Tiling.withTileId(shelved)
+      .withColumn("rt_err",
+        org.apache.spark.sql.graft.CellExpressions.proj_roundtrip_err(col("lon"), col("lat")))
+      .groupBy("tile_name")
+      .agg(count(lit(1)).as("n"), countDistinct(col("tile_id")).as("n_tiles"),
+        max(col("rt_err")).as("max_rt_err"))
+  }
+
+  /** Scan-free calibration: rows synthesized by `range`, full tile math per
+    * row, hash aggregate — isolates compute-stage thread scaling through the
+    * whole Spark stack (codegen, task scheduling, agg) with zero input IO.
+    * If this scales ≥0.9 while the scan-bearing modes sit lower, the gap IS
+    * the single-socket scan bandwidth — a ceiling multi-executor clusters
+    * don't share (each executor brings its own memory channels).
+    */
+  def cpuPlan(spark: SparkSession, rows: Long): DataFrame = {
+    val h1 = (col("id") * 48271L + 11L) % 2147483647L
+    val h2 = (h1 * 48271L + 17L) % 2147483647L
+    spark.range(0, rows, 1, 256)
+      .withColumn("lon", (h1 % 360000L).cast("double") / 1000.0 - 180.0)
+      .withColumn("lat", (h2 % 170000L).cast("double") / 1000.0 - 85.0)
+      .withColumn("tile_id",
+        org.apache.spark.sql.graft.CellExpressions.tile_id(col("lon"), col("lat")))
+      .withColumn("rt_err",
+        org.apache.spark.sql.graft.CellExpressions.proj_roundtrip_err(col("lon"), col("lat")))
+      .groupBy(substring(col("tile_id"), 1, 2).as("g"))
+      .agg(count(lit(1)).as("n"), max(col("rt_err")).as("max_err"))
+  }
+
+  private def planFor(spark: SparkSession, path: String, mode: String): DataFrame =
+    mode match {
+      case "compute" => headlineComputePlan(spark, path)
+      case "heavy"   => headlineHeavyPlan(spark, path)
+      case "cpu"     => cpuPlan(spark, 307200000L)
+      case _         => headlinePlan(spark, path)
+    }
+
+  /** One session at `cores`: warm once, then `runs` timed executions,
+    * return the per-run times. */
+  def timeAt(cores: Int, path: String, mode: String, runs: Int): Seq[Double] = {
     val spark = Session.local(cores, s"graft-scaling-$cores")
     try {
-      // plan once (a production job plans once per submit); time executions
-      val df = if (compute) headlineComputePlan(spark, path) else headlinePlan(spark, path)
-      df.count() // JIT + codegen warmup
-      val runs = (1 to 5).map { _ =>
+      val df = planFor(spark, path, mode)
+      df.count() // JIT + codegen warmup (first session pays it; JIT persists)
+      (1 to runs).map { _ =>
         val t0 = System.nanoTime()
-        val tiles = df.count()
-        ((System.nanoTime() - t0) / 1e9, tiles)
+        df.count()
+        (System.nanoTime() - t0) / 1e9
       }
-      System.err.println(f"[scaling] cores=$cores raw=${runs.map(r => f"${r._1}%.2f").mkString(",")}")
-      runs.minBy(_._1)
     } finally spark.stop()
   }
 
@@ -98,14 +146,25 @@ object ScalingBench {
       else materialize(setup, sfDir, rep, path)
     } finally setup.stop()
     Runtime.getRuntime.exec(Array("sync")).waitFor()
-    val compute = sys.env.get("SPARK_GRAFT_BENCH_MODE").contains("compute")
-    val (t8, tiles) = timeAt(8, path, compute)
-    val (t32, _) = timeAt(32, path, compute)
+    val mode = sys.env.getOrElse("SPARK_GRAFT_BENCH_MODE", "simple")
+    // INTERLEAVED pairs: the sandbox host throttles in multi-second bursts;
+    // running all 8-core runs then all 32-core runs lets one burst poison an
+    // entire phase. Alternating (8, 32) rounds spreads interference evenly;
+    // min-of-all per level is the least-interference estimate, and per-pair
+    // efficiencies expose which rounds were quiet.
+    val pairs = (1 to 4).map { r =>
+      val t8 = timeAt(8, path, mode, runs = 2).min
+      val t32 = timeAt(32, path, mode, runs = 2).min
+      System.err.println(f"[scaling] round=$r t8=$t8%.2f t32=$t32%.2f pairEff=${t8 / (4 * t32)}%.3f")
+      (t8, t32)
+    }
+    val t8 = pairs.map(_._1).min
+    val t32 = pairs.map(_._2).min
     val thr8 = rows / t8
     val thr32 = rows / t32
     val eff = thr32 / (4.0 * thr8)
-    val mode = if (compute) "compute" else "simple"
-    println(f"""{"metric":"scaling","mode":"$mode","sf":"$sfDir","rows":$rows,"tiles":$tiles,"t8_sec":$t8%.3f,"t32_sec":$t32%.3f,"rows_per_sec_8":$thr8%.0f,"rows_per_sec_32":$thr32%.0f,"efficiency":$eff%.3f}""")
-    println(f"| $mode $sfDir x$rep | $rows | $tiles | $t8%.2f | $t32%.2f | $thr8%.0f | $thr32%.0f | $eff%.3f |")
+    val pairEffs = pairs.map { case (a, b) => a / (4 * b) }
+    println(f"""{"metric":"scaling","mode":"$mode","sf":"$sfDir","rows":$rows,"t8_sec":$t8%.3f,"t32_sec":$t32%.3f,"rows_per_sec_8":$thr8%.0f,"rows_per_sec_32":$thr32%.0f,"efficiency":$eff%.3f,"pair_efficiencies":[${pairEffs.map(e => f"$e%.3f").mkString(",")}]}""")
+    println(f"| $mode $sfDir x$rep | $rows | $t8%.2f | $t32%.2f | $thr8%.0f | $thr32%.0f | $eff%.3f |")
   }
 }

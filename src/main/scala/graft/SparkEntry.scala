@@ -288,6 +288,12 @@ object SparkEntry {
       Ann.ivfTopK(s.read.parquet(s"$dir/embeddings.parquet"), col("vec_id") < 32, k = 3)
         .withColumn("rn", col("rn").cast("long"))),
 
+    // --- similarity: IVF multi-probe top-k (recall knob: 2 cells per query)
+    "q_ivf_multiprobe" -> ((s, dir) =>
+      Ann.ivfMultiProbeTopK(s.read.parquet(s"$dir/embeddings.parquet"),
+          col("vec_id") < 32, k = 3, nProbe = 2)
+        .withColumn("rn", col("rn").cast("long"))),
+
     // --- events: tumbling-window aggregation
     "q_event_window" -> ((s, dir) =>
       s.read.parquet(s"$dir/events.parquet")
@@ -345,6 +351,10 @@ object SparkEntry {
         .toDF().select(col("url"), col("byte_len"), col("kind"),
           col("width").cast("long").as("width"),
           col("height").cast("long").as("height"))),
+
+    // --- multimodal: frame sampling (one row per fixed-stride frame slice)
+    "q_mm_frames" -> ((s, dir) =>
+      graft.mm.Multimodal.sampleFrames(Pages.fromDocuments(s, dir))),
 
     // --- J9/A12: STAC-analog item documents + catalog tree rollup
     "q_stac_items" -> ((s, dir) =>
@@ -931,6 +941,29 @@ object SparkEntry {
          |) WHERE rn <= 3""".stripMargin,
       embCte, ivfCte),
 
+    "q_ivf_multiprobe" -> {
+      val dotsList = (0 until Ann.IvfCells).map(c => s"d_$c").mkString(", ")
+      withCtes(
+        s"""SELECT query_id, neighbor_id, cos_sim, rn FROM (
+           |  SELECT query_id, neighbor_id, cos_sim,
+           |         row_number() OVER (PARTITION BY query_id ORDER BY cos_sim DESC, neighbor_id) AS rn
+           |  FROM (
+           |    SELECT q.query_id, v.vec_id AS neighbor_id,
+           |           CAST(${dotSql("q.qem", "v.em")} AS DOUBLE) /
+           |           sqrt(CAST(q.qn2 * v.n2 AS DOUBLE)) AS cos_sim
+           |    FROM pr q JOIN ivfc v ON v.ivf_cell = q.pcell AND v.vec_id <> q.query_id
+           |  )
+           |) WHERE rn <= 3""".stripMargin,
+        embCte, ivfCte,
+        s"""probe AS (SELECT vec_id AS query_id, em AS qem, n2 AS qn2,
+           |                 CAST(unnest(range(0, ${Ann.IvfCells})) AS BIGINT) AS pcell,
+           |                 unnest([$dotsList]) AS d
+           |          FROM ivfd WHERE vec_id < 32)""".stripMargin,
+        """pr AS (SELECT query_id, qem, qn2, pcell FROM (
+          |  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY d DESC, pcell) AS prn
+          |  FROM probe) WHERE prn <= 2)""".stripMargin)
+    },
+
     "q_event_window" ->
       """SELECT CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS hr_epoch, event_type,
         |       CAST(count(*) AS BIGINT) AS n, round(sum(value), 4) AS sum_value
@@ -977,6 +1010,15 @@ object SparkEntry {
         |       64 + ('0x' || substr(md5(h), 19, 2))::BIGINT % 64 AS height
         |FROM (SELECT url, '<html><body>' || text || '</body></html>' AS h FROM pages)""".stripMargin,
       Pages.docPagesCte),
+
+    "q_mm_frames" -> withCtes(
+      s"""SELECT doc_id, CAST(i AS BIGINT) AS frame_idx,
+         |       ${h32sql("substr(h, CAST(i * 64 + 1 AS INT), 64)")} AS frame_hash
+         |FROM (SELECT doc_id, h,
+         |             least(CAST(ceil(length(h) / 64.0) AS INT), 8) AS n,
+         |             unnest(range(0, least(CAST(ceil(length(h) / 64.0) AS INT), 8))) AS i
+         |      FROM (SELECT doc_id, '<html><body>' || text || '</body></html>' AS h
+         |            FROM pages))""".stripMargin, Pages.docPagesCte),
 
     "q_stac_items" -> withCtes(
       s"""SELECT doc_id,

@@ -53,6 +53,24 @@ object Multimodal {
       }
   }
 
+  /** Frame sampling over the opaque media payload: fixed-stride slices stand
+    * in for decoded video frames (a real decoder would seek keyframes); one
+    * output row per sampled frame with a per-frame content hash. The explode
+    * is the Spark-native generator shape a real frame extractor uses — one
+    * narrow pass, rows fan out ~maxFrames×, no shuffle.
+    */
+  def sampleFrames(media: DataFrame, frameBytes: Int = 64,
+                   maxFrames: Int = 8): DataFrame = {
+    val s = decode(col("html"), "UTF-8")
+    val n = least(ceil(length(s) / lit(frameBytes.toDouble)).cast("int"), lit(maxFrames))
+    media.select(col("doc_id"), s.as("__s"), n.as("__n"))
+      .withColumn("frame_idx", explode(sequence(lit(0), col("__n") - 1)))
+      .select(col("doc_id"), col("frame_idx").cast("long").as("frame_idx"),
+        org.apache.spark.sql.graft.TextExpressions.h32(
+          col("__s").substr(col("frame_idx") * frameBytes + 1, lit(frameBytes)))
+          .as("frame_hash"))
+  }
+
   /** Feature extraction to a fixed-width embedding column suitable for the
     * Ann operators (resize/frame-sample analog).
     */

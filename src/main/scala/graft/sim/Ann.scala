@@ -146,6 +146,36 @@ object Ann {
     joined.withColumn("rn", row_number().over(w)).filter(col("rn") <= k)
   }
 
+  /** IVF multi-probe ANN top-k: each query probes its `nProbe` best centroid
+    * cells (by centroid dot product, lower cell index on ties) instead of
+    * just the argmax cell — the standard recall-vs-cost knob of IVF indexes.
+    * Data vectors keep their single assigned cell, so a neighbor matches at
+    * most one probe (no dedup needed). Scale shape: the probe set is
+    * |queries|·nProbe rows equi-joined on the cell id; never all-pairs.
+    */
+  def ivfMultiProbeTopK(vecs: DataFrame, queryPred: Column, k: Int,
+                        nProbe: Int = 2): DataFrame = {
+    val assigned = ivfAssign(vecs)
+    val all = prepared(vecs)
+    val dotsArr = array((0 until IvfCells).map { c =>
+      val carr = array((0 until Dim).map(d => lit(centroidComponent(c, d))): _*)
+      doti(col("em"), carr)
+    }: _*)
+    val q0 = all.filter(queryPred)
+      .select(col("vec_id").as("query_id"), col("em").as("qem"), col("n2").as("qn2"),
+        posexplode(dotsArr).as(Seq("cell", "dot")))
+    val wq = Window.partitionBy("query_id").orderBy(col("dot").desc, col("cell"))
+    val probes = q0.withColumn("pr", row_number().over(wq))
+      .filter(col("pr") <= nProbe)
+      .select(col("query_id"), col("qem"), col("qn2"), col("cell").cast("long").as("pcell"))
+    val joined = assigned.join(probes,
+        col("ivf_cell") === col("pcell") && col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        cosine(doti(col("qem"), col("em")), col("qn2"), col("n2")).as("cos_sim"))
+    val w = Window.partitionBy("query_id").orderBy(col("cos_sim").desc, col("neighbor_id"))
+    joined.withColumn("rn", row_number().over(w)).filter(col("rn") <= k)
+  }
+
   /** ANN top-k within LSH bucket (the scale path; recall < 1 by design).
     * Returns (query_id, neighbor_id, cos_sim, rn) for neighbors sharing the
     * query's bucket.

@@ -60,6 +60,23 @@ object GraftKernels {
     def tileId(lon: Double, lat: Double): org.apache.spark.unsafe.types.UTF8String =
       org.apache.spark.unsafe.types.UTF8String.fromString(Cells.tileId(lon, lat))
 
+    /** Per-record reprojection roundtrip residual: forward to the row's
+      * region CRS (polar stereo 3413/3031 or UTM), inverse back, return the
+      * |Δlon|+|Δlat| residual — the per-record geometry-transform work the
+      * reference does on every indexed item (index_setsm.py:986-1030
+      * reprojects each footprint). Used by the compute-dense bench mode.
+      */
+    def projRoundtripErr(lon: Double, lat: Double): Double = {
+      val epsg =
+        if (lat >= 50.0) 3413
+        else if (lat <= -50.0) 3031
+        else graft.crs.Proj.utmEpsg(lon, lat)
+      val (x, y) = graft.crs.Proj.forward(lon, lat, epsg)
+      val (lon2, lat2) = graft.crs.Proj.inverse(x, y, epsg)
+      math.abs(graft.crs.Proj.normLon(lon2) - graft.crs.Proj.normLon(lon)) +
+        math.abs(lat2 - lat)
+    }
+
     /** Geocell (lib/dem.py:747-752) as ONE static call. The pure-column
       * concat/lpad form is semantically identical but is a sizeable Catalyst
       * tree: pushed-down join-key null checks inline such trees several
@@ -166,6 +183,19 @@ object CellExpressions {
       copy(left = l, right = r)
   }
 
+  /** Reprojection roundtrip residual via the static kernel. */
+  case class ProjRoundtripErr(left: Expression, right: Expression)
+      extends org.apache.spark.sql.catalyst.expressions.BinaryExpression {
+    override def dataType: DataType = org.apache.spark.sql.types.DoubleType
+    override def nullable: Boolean = left.nullable || right.nullable
+    override protected def nullSafeEval(lon: Any, lat: Any): Any =
+      Kernels.projRoundtripErr(lon.asInstanceOf[Double], lat.asInstanceOf[Double])
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, (lon, lat) => s"${ev.value} = $K.projRoundtripErr($lon, $lat);")
+    override protected def withNewChildrenInternal(l: Expression, r: Expression): ProjRoundtripErr =
+      copy(left = l, right = r)
+  }
+
   /** Geocell string via the static kernel (see GraftKernels.geocell). */
   case class GeocellExpr(left: Expression, right: Expression)
       extends org.apache.spark.sql.catalyst.expressions.BinaryExpression {
@@ -195,6 +225,11 @@ object CellExpressions {
   def dot_longs(a: Column, b: Column): Column =
     ExpressionUtils.column(DotLongs(
       ExpressionUtils.expression(a), ExpressionUtils.expression(b)))
+
+  def proj_roundtrip_err(lon: Column, lat: Column): Column =
+    ExpressionUtils.column(ProjRoundtripErr(
+      ExpressionUtils.expression(lon.cast("double")),
+      ExpressionUtils.expression(lat.cast("double"))))
 
   def geocell_expr(lon: Column, lat: Column): Column =
     ExpressionUtils.column(GeocellExpr(
