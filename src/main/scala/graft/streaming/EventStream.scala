@@ -35,6 +35,22 @@ object EventStream {
       .select(col("window.start").cast("long").as("hr_epoch"),
         col("event_type"), col("n"), col("sum_value"))
 
+  /** Streaming flagship spine: geocode pages as they arrive (event time =
+    * warc_ts) and maintain per-(hour, geocell) index counts — the streaming
+    * twin of the index job's geocell aggregation. Watermark bounds state;
+    * one shuffle per micro-batch on (window, geocell).
+    */
+  def streamingGeocellCounts(pages: DataFrame): DataFrame =
+    pages
+      .withColumn("warc_ts", col("warc_ts").cast("timestamp"))
+      .withWatermark("warc_ts", "2 hours")
+      .withColumn("geocell",
+        graft.cells.Cells.geocellCol(col("lon"), col("lat")))
+      .groupBy(window(col("warc_ts"), "1 hour"), col("geocell"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("window.start").cast("long").as("hr_epoch"),
+        col("geocell"), col("n"))
+
   /** Streaming exact dedup on the record id — the training-ingest "have we
     * seen this document before" gate. `dropDuplicatesWithinWatermark` keys
     * state by event_id and evicts entries once the watermark passes, so

@@ -36,6 +36,30 @@ class StreamingSpec extends SparkSpec {
     assert(got.size === 3) // h0:click(n=2), h1:view, h2:click
   }
 
+  test("streaming geocell counts (complete mode) match the batch aggregation") {
+    implicit val sqlCtx = spark.sqlContext
+    case class Page(doc_id: Long, warc_ts: Timestamp, lon: Double, lat: Double)
+    val input = MemoryStream[(Long, Timestamp, Double, Double)]
+    val pages = Seq(
+      (1L, ts(0), 12.3, 51.2), (2L, ts(5), 12.9, 51.8),  // same geocell n51e012
+      (3L, ts(70), -0.5, -0.5),                            // s01w001
+      (4L, ts(10), 179.9, -70.4))                          // s71e179
+    input.addData(pages: _*)
+    val q = EventStream.streamingGeocellCounts(
+        input.toDF().toDF("doc_id", "warc_ts", "lon", "lat"))
+      .writeStream.format("memory").queryName("geocells")
+      .outputMode("complete").start()
+    q.processAllAvailable(); q.stop()
+    val got = spark.table("geocells").as[(Long, String, Long)].collect().toSet
+    val expected = pages.toDF("doc_id", "warc_ts", "lon", "lat")
+      .groupBy(date_trunc("hour", col("warc_ts")).cast("long").as("hr_epoch"),
+        graft.cells.Cells.geocellCol(col("lon"), col("lat")).as("geocell"))
+      .agg(count(lit(1)).as("n"))
+      .as[(Long, String, Long)].collect().toSet
+    assert(got === expected)
+    assert(got.exists { case (_, cell, n) => cell == "n51e012" && n == 2 })
+  }
+
   test("streaming dedup drops re-deliveries within the watermark") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[Event]
