@@ -118,15 +118,19 @@ object ScalingBench {
     }
 
   /** One session at `cores`: warm once, then `runs` timed executions,
-    * return the per-run times. */
+    * return the per-run times. Evaluation goes through the noop SINK, not
+    * count(): count() lets ColumnPruning drop unused aggregate expressions,
+    * which silently eliminated the per-row tile/CRS compute from the
+    * compute/heavy modes (the group key needs no trig) — the sink forces
+    * every output column to be produced. */
   def timeAt(cores: Int, path: String, mode: String, runs: Int): Seq[Double] = {
     val spark = Session.local(cores, s"graft-scaling-$cores")
     try {
       val df = planFor(spark, path, mode)
-      df.count() // JIT + codegen warmup (first session pays it; JIT persists)
+      df.write.mode("overwrite").format("noop").save() // JIT + codegen warmup
       (1 to runs).map { _ =>
         val t0 = System.nanoTime()
-        df.count()
+        df.write.mode("overwrite").format("noop").save()
         (System.nanoTime() - t0) / 1e9
       }
     } finally spark.stop()

@@ -32,5 +32,23 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction((FunctionIdentifier("graft_dot_longs"),
       info("graft_dot_longs", "integer dot product of two long arrays"),
       (args: Seq[Expression]) => CellExpressions.DotLongs(args(0), args(1))))
+    ext.injectFunction((FunctionIdentifier("graft_geocell"),
+      info("graft_geocell", "reference 1-degree geocell of (lon, lat)"),
+      (args: Seq[Expression]) => CellExpressions.GeocellExpr(args(0), args(1))))
+    ext.injectFunction((FunctionIdentifier("graft_h32"),
+      info("graft_h32", "first-32-bits-of-md5 string hash as bigint"),
+      (args: Seq[Expression]) => TextExpressions.H32(args(0))))
+    ext.injectFunction((FunctionIdentifier("graft_shingle_hashes"),
+      info("graft_shingle_hashes", "h32 of every n-gram shingle of a token array"),
+      (args: Seq[Expression]) => TextExpressions.ShingleHashes(args(0), args(1))))
+    ext.injectFunction((FunctionIdentifier("graft_minhash_sig"),
+      info("graft_minhash_sig", "minhash signature array over shingle hashes"),
+      (args: Seq[Expression]) => TextExpressions.MinhashSig(args(0), args(1))))
+    ext.injectFunction((FunctionIdentifier("graft_simhash_sig"),
+      info("graft_simhash_sig", "simhash signature over token hashes"),
+      (args: Seq[Expression]) => TextExpressions.SimhashSig(args(0), args(1))))
+    ext.injectFunction((FunctionIdentifier("graft_proj_roundtrip_err"),
+      info("graft_proj_roundtrip_err", "CRS forward+inverse roundtrip residual"),
+      (args: Seq[Expression]) => CellExpressions.ProjRoundtripErr(args(0), args(1))))
   }
 }

@@ -25,12 +25,26 @@ class ExtensionsSpec extends AnyFunSuite {
         """SELECT graft_cell_at(12.5d, 51.5d, 8) AS cell,
           |       graft_st_contains(array(0d,0d, 10d,0d, 10d,10d, 0d,10d), 5d, 5d) AS pip,
           |       graft_tile_id(-45.0d, 75.0d) AS tile,
-          |       graft_dot_longs(array(1L,2L,3L), array(4L,5L,6L)) AS dot
+          |       graft_dot_longs(array(1L,2L,3L), array(4L,5L,6L)) AS dot,
+          |       graft_geocell(-55.5d, 67.2d) AS gc,
+          |       graft_h32('hello world') AS h,
+          |       graft_shingle_hashes(array('a','b','c','d'), 3) AS sh,
+          |       graft_minhash_sig(array(7L, 11L), 16) AS mh,
+          |       graft_simhash_sig(array(7L, 11L), 24) AS sim,
+          |       graft_proj_roundtrip_err(-45.0d, 75.0d) AS rt
           |""".stripMargin).collect()(0)
       assert(row.getLong(0) === graft.cells.Cells.cellAt(12.5, 51.5, 8))
       assert(row.getBoolean(1))
       assert(row.getString(2) === graft.cells.Cells.tileId(-45.0, 75.0))
       assert(row.getLong(3) === 32L)
+      assert(row.getString(4) === graft.cells.Cells.geocell(-55.5, 67.2))
+      assert(row.getLong(5) ===
+        java.lang.Long.parseLong(java.security.MessageDigest.getInstance("MD5")
+          .digest("hello world".getBytes("UTF-8")).take(4).map(b => f"$b%02x").mkString, 16))
+      assert(row.getSeq[Long](6).length === 2) // shingles 'a b c', 'b c d'
+      assert(row.getSeq[Long](7).length === 16)
+      assert(row.getLong(8) >= 0L)
+      assert(row.getDouble(9) < 1e-6) // roundtrip residual is tiny
     } finally {
       // do not stop (context shared with the other suites); restore pointers
       prior.foreach { p =>
