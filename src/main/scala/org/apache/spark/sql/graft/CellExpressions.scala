@@ -60,6 +60,22 @@ object GraftKernels {
     def tileId(lon: Double, lat: Double): org.apache.spark.unsafe.types.UTF8String =
       org.apache.spark.unsafe.types.UTF8String.fromString(Cells.tileId(lon, lat))
 
+    /** Cover cells of a flat ring as array<struct<cell:bigint, interior:boolean>>
+      * (interior=true ⇒ points in the cell need no exact PIP test). Backs the
+      * PipJoinRewrite optimizer rule's Generate node.
+      */
+    def coverCells(ring: ArrayData, level: Int): ArrayData = {
+      val n = ring.numElements()
+      val arr = new Array[Double](n)
+      var i = 0
+      while (i < n) { arr(i) = ring.getDouble(i); i += 1 }
+      val cover = Cells.coverRing(arr, level)
+      new org.apache.spark.sql.catalyst.util.GenericArrayData(
+        cover.map { case (c, in) =>
+          org.apache.spark.sql.catalyst.InternalRow(c, in)
+        })
+    }
+
     /** Per-record reprojection roundtrip residual: forward to the row's
       * region CRS (polar stereo 3413/3031 or UTM), inverse back, return the
       * |Δlon|+|Δlat| residual — the per-record geometry-transform work the
@@ -182,6 +198,28 @@ object CellExpressions {
     override protected def withNewChildrenInternal(l: Expression, r: Expression): TileIdExpr =
       copy(left = l, right = r)
   }
+
+  /** Cover cells of a ring at a level — the generator input of the
+    * PipJoinRewrite rule. */
+  case class CoverCells(left: Expression, right: Expression)
+      extends org.apache.spark.sql.catalyst.expressions.BinaryExpression {
+    override def dataType: DataType = org.apache.spark.sql.types.ArrayType(
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("cell", LongType, nullable = false),
+        org.apache.spark.sql.types.StructField("interior", BooleanType, nullable = false))),
+      containsNull = false)
+    override protected def nullSafeEval(ring: Any, level: Any): Any =
+      Kernels.coverCells(ring.asInstanceOf[ArrayData], level.asInstanceOf[Int])
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, (ring, level) =>
+        s"${ev.value} = $K.coverCells($ring, $level);")
+    override protected def withNewChildrenInternal(l: Expression, r: Expression): CoverCells =
+      copy(left = l, right = r)
+  }
+
+  def cover_cells(ring: Column, level: Int): Column =
+    ExpressionUtils.column(CoverCells(
+      ExpressionUtils.expression(ring), ExpressionUtils.expression(lit(level))))
 
   /** Reprojection roundtrip residual via the static kernel. */
   case class ProjRoundtripErr(left: Expression, right: Expression)

@@ -50,5 +50,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction((FunctionIdentifier("graft_proj_roundtrip_err"),
       info("graft_proj_roundtrip_err", "CRS forward+inverse roundtrip residual"),
       (args: Seq[Expression]) => CellExpressions.ProjRoundtripErr(args(0), args(1))))
+    // plan-level integration: PIP theta joins become cell equi-joins
+    ext.injectOptimizerRule(_ => PipJoinRewrite)
   }
 }
