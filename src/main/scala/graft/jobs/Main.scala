@@ -12,11 +12,11 @@ import graft.table.Icelite
   * `outRoot/<job>`, so a re-run resumes/verifies rather than recomputing.
   *
   * Usage: spark-submit --class graft.jobs.Main <jar> <job> <sfDir> <outRoot>
-  *   job ∈ index | shelve | tile | knn | stacdocs
+  *   job ∈ index | shelve | tile | knn | stacdocs | stacmeta
   */
 object Main {
   def main(args: Array[String]): Unit = {
-    require(args.length >= 3, "usage: <index|shelve|tile|knn|stacdocs> <sfDir> <outRoot>")
+    require(args.length >= 3, "usage: <index|shelve|tile|knn|stacdocs|stacmeta> <sfDir> <outRoot>")
     val Array(job, sfDir, outRoot) = args.take(3)
     val spark = Session.local(
       sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt, s"graft-$job")
@@ -47,6 +47,15 @@ object Main {
           val tree = StacDocs.treeRollup(Pages.fromDocuments(spark, sfDir))
           Icelite.commit(spark, tree, s"$outRoot/stac_tree", s"stac:$sfDir")
           println(s"""{"job":"stacdocs","items":${snap.rowCount}}""")
+        case "stacmeta" =>
+          // extract_stac_metadata.py's flow: batched asset-info rows UPSERTED
+          // into the metadata table (INSERT ... ON CONFLICT DO UPDATE →
+          // Icelite.merge on the (collection, item_id, asset_key) PK).
+          // Re-running the job converges instead of duplicating.
+          val assets = graft.pages.Ladder.assetInfo(spark, sfDir)
+          val snap = Icelite.merge(spark, assets, s"$outRoot/stac_asset_info",
+            Seq("collection", "item_id", "asset_key"), s"stacmeta:$sfDir")
+          println(s"""{"job":"stacmeta","rows":${snap.rowCount},"snapshot":${snap.id}}""")
         case other => sys.error(s"unknown job $other")
       }
     } finally spark.stop()
