@@ -186,6 +186,27 @@ object Icelite {
     else spark.read.parquet(snap.files: _*)
   }
 
+  /** Lineage verification: recompute the snapshot's content fingerprint from
+    * its data files and compare against the manifest's per-partition lineage.
+    * Row hashes xor-combine associatively, so the check is independent of
+    * how a re-read re-partitions the files: total rows must equal the
+    * manifest rowCount and the global xor of row hashes must equal the xor
+    * of the recorded per-partition checksums. Detects any lost/duplicated/
+    * altered row in a committed snapshot (bit-flip, truncated file, manual
+    * tampering) without needing the original partitioning.
+    */
+  def verifyLineage(spark: SparkSession, table: String): Boolean = {
+    val id = currentSnapshotId(table).getOrElse(return false)
+    val snap = readManifest(table, id)
+    if (snap.files.isEmpty) return snap.rowCount == 0
+    val df = spark.read.parquet(snap.files: _*)
+    val row = df.agg(
+      count(lit(1)).as("n"),
+      bit_xor(xxhash64(df.columns.map(col): _*)).as("x")).head()
+    val expectedXor = snap.partitions.map(_.checksum).foldLeft(0L)(_ ^ _)
+    row.getLong(0) == snap.rowCount && row.getLong(1) == expectedXor
+  }
+
   /** The reference's `--check` verification (J11, index_setsm.py:1179-1197):
     * read back the committed snapshot and anti-join both directions on the
     * record-id column; any diff ⇒ failure.

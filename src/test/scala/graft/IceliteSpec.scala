@@ -135,6 +135,26 @@ class IceliteSpec extends SparkSpec {
       === Set((1L, "a"), (9L, "g2")))
   }
 
+  test("lineage verification detects tampered snapshot data") {
+    val t = tmpDir() + "/lv1"
+    val df = (1 to 200).map(i => (i.toLong, s"v$i")).toDF("id", "v")
+    val snap = Icelite.commit(spark, df, t)
+    assert(Icelite.verifyLineage(spark, t), "pristine snapshot must verify")
+    // tamper: overwrite one data file with different rows (same schema)
+    val victim = snap.files.head
+    val tmp = tmpDir() + "/tampered"
+    Seq((9999L, "evil")).toDF("id", "v").coalesce(1).write.parquet(tmp)
+    val replacement = new java.io.File(tmp).listFiles()
+      .filter(_.getName.endsWith(".parquet")).head.toPath
+    // drop Hadoop's local .crc sidecar so the read reaches OUR check (an
+    // object store has no such sidecar; lineage is the defense there)
+    val victimPath = Paths.get(victim)
+    Files.deleteIfExists(victimPath.getParent.resolve("." + victimPath.getFileName + ".crc"))
+    Files.copy(replacement, victimPath,
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    assert(!Icelite.verifyLineage(spark, t), "tampering must be detected")
+  }
+
   test("density cache: recompute skipped on matching fingerprint (S10)") {
     val root = tmpDir()
     val pages = graft.pages.Pages.fromDocuments(spark, Sf)
