@@ -136,6 +136,23 @@ class OpsSpec extends SparkSpec {
     assert(got.contains((1L, 1L)) && got.contains((1L, 9L)))
   }
 
+  test("pickLevel chooses a finer level for the skewed page cloud, and kNN stays exact") {
+    val pts = graft.pages.Pages.fromLineitem(spark, "/root/testdata/sf0.01")
+      .select(col("page_id").as("id"), col("lonm"), col("latm"))
+    // 20% of ~60k points sit in two 1-degree cells; a coarse level would put
+    // thousands of points in one cell
+    val level = KnnJoin.pickLevel(pts, targetMaxPerCell = 256, sampleFraction = 0.2)
+    assert(level >= 8, s"skewed cloud must push the level finer, got $level")
+    // the picked level still yields exact results on a small subset
+    val sub = pts.filter(col("id") < 2000).localCheckpoint()
+    val got = KnnJoin.knn(spark, sub, sub, "id", "id", k = 2, level = level,
+        maxRounds = 12)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect()
+    val rows = sub.select("id", "lonm", "latm").as[(Long, Long, Long)].collect()
+    val distinctIds = rows.map(_._1).distinct.length
+    assert(got.length === distinctIds * 2)
+  }
+
   test("kNN self-heals on hot cells (skewed cluster)") {
     // 200 points all inside one 1-degree cell + 10 sparse outliers
     val hot = (0L until 200L).map { i =>
