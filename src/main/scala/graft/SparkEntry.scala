@@ -251,6 +251,10 @@ object SparkEntry {
     "q_minhash_bands" -> ((s, dir) =>
       TextOps.minhashBands(s.read.parquet(s"$dir/documents.parquet"))),
 
+    // --- dedup: MinHash LSH candidate pairs (band bucket equi-join)
+    "q_minhash_pairs" -> ((s, dir) =>
+      TextOps.minhashPairs(s.read.parquet(s"$dir/documents.parquet"))),
+
     // --- dedup: SimHash signatures
     "q_simhash" -> ((s, dir) =>
       TextOps.simhash(s.read.parquet(s"$dir/documents.parquet"))),
@@ -849,6 +853,28 @@ object SparkEntry {
         s"""mh AS (SELECT doc_id,
            |         $minExprs
            |       FROM hv GROUP BY doc_id)""".stripMargin)
+    },
+
+    "q_minhash_pairs" -> {
+      val minExprs = (0 until TextOps.NumHashes).map { j =>
+        s"min((h * ${2 * j + 1} + ${12345 * j + 7}) % ${TextOps.MinhashP}) AS mh_$j"
+      }.mkString(",\n         ")
+      val bandSelects = (0 until TextOps.NumHashes / TextOps.BandRows).map { b =>
+        val key = (0 until TextOps.BandRows)
+          .map(r => s"mh_${b * TextOps.BandRows + r}").mkString(", ")
+        s"SELECT doc_id, CAST($b AS BIGINT) AS band, concat_ws('_', $key) AS band_key FROM mh"
+      }.mkString("\nUNION ALL\n")
+      withCtes(
+        """SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+          |FROM bands a JOIN bands b
+          |  ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id""".stripMargin,
+        toksCte, shinglesCte,
+        s"""hv AS (SELECT doc_id, ${h32sql("sg")} AS h
+           |       FROM (SELECT doc_id, unnest(s) AS sg FROM sh))""".stripMargin,
+        s"""mh AS (SELECT doc_id,
+           |         $minExprs
+           |       FROM hv GROUP BY doc_id)""".stripMargin,
+        s"bands AS (\n$bandSelects)")
     },
 
     "q_simhash" -> {
