@@ -176,10 +176,13 @@ object SparkEntry {
         .select(col("doc_id"), col("tile_name"))
     }),
 
-    // --- graft kNN join: expanding-ring exact k nearest neighbors
+    // --- graft kNN join: expanding-ring exact k nearest neighbors.
+    // Level is density-auto-picked (KnnJoin.pickLevel): the result is exact
+    // at any level, but the cost is not — a hardcoded level dies under skew
+    // at scale (BENCH.md: 483 s vs 108 s at 600k points on the level alone).
     "q_knn" -> ((s, dir) => {
       val pts = Pages.fromDocuments(s, dir)
-      KnnJoin.knn(s, pts, pts, "doc_id", "doc_id", k = 5, level = 4)
+      KnnJoin.knnAuto(s, pts, pts, "doc_id", "doc_id", k = 5)
         .withColumn("rn", col("rn").cast("long"))
     }),
 

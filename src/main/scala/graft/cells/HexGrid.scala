@@ -17,15 +17,24 @@ object HexGrid {
 
   private val Sqrt3 = math.sqrt(3.0)
 
+  /** Round half away from zero (SQL ROUND semantics: -0.5 → -1). Scala's
+    * `math.round` rounds half toward +∞ (-0.5 → 0), which diverges from the
+    * column/oracle path on exact tie points — reachable despite the
+    * irrational factors (e.g. qf = -0.5 at lon=0, lat=3, s=2 because IEEE
+    * (1.0/3.0)*3.0 == 1.0), so the scalar path must match SQL exactly.
+    */
+  private def roundHalfAway(x: Double): Long =
+    (if (x >= 0) math.floor(x + 0.5) else math.ceil(x - 0.5)).toLong
+
   /** Axial coords of the hex containing (x, y) for hex size (circumradius)
     * `s` — cube rounding, so the assigned hex center is the nearest center.
     */
   def axialAt(x: Double, y: Double, s: Double): (Long, Long) = {
     val qf = (Sqrt3 / 3.0 * x - 1.0 / 3.0 * y) / s
     val rf = (2.0 / 3.0 * y) / s
-    // cube rounding
+    // cube rounding (half-away-from-zero, matching hexCol / the SQL oracle)
     val xf = qf; val zf = rf; val yf = -xf - zf
-    var rx = math.round(xf); var ry = math.round(yf); var rz = math.round(zf)
+    var rx = roundHalfAway(xf); var ry = roundHalfAway(yf); var rz = roundHalfAway(zf)
     val dx = math.abs(rx - xf); val dy = math.abs(ry - yf); val dz = math.abs(rz - zf)
     if (dx > dy && dx > dz) rx = -ry - rz
     else if (dy > dz) ry = -rx - rz
@@ -48,9 +57,9 @@ object HexGrid {
 
   /** Pure-column form of [[hexAt]] — the scalar math is plain arithmetic so
     * no UDF is needed (encoder-serialization-free, codegen-fused). IEEE op
-    * order mirrors [[axialAt]] and the DuckDB oracle exactly; `round` halves
-    * cannot occur (qf/rf carry irrational factors), so SQL HALF_UP and
-    * `math.round` agree on every reachable input.
+    * order mirrors [[axialAt]] and the DuckDB oracle exactly. Exact-half
+    * rounding ties ARE reachable (see [[roundHalfAway]]); all three paths
+    * (Scala, Spark `round`, DuckDB `round`) round half away from zero.
     */
   def hexCol(lon: Column, lat: Column, s: Double): Column = {
     val qf = (lit(Sqrt3) / 3.0 * lon - lit(1.0) / 3.0 * lat) / s

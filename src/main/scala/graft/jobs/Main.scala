@@ -38,7 +38,8 @@ object Main {
           println(s"""{"job":"tile","tiles":${snap.rowCount}}""")
         case "knn" =>
           val pts = Pages.fromDocuments(spark, sfDir)
-          val knn = KnnJoin.knn(spark, pts, pts, "doc_id", "doc_id", k = 5, level = 4)
+          // density-auto-picked level (override: GRAFT_KNN_LEVEL)
+          val knn = KnnJoin.knnAuto(spark, pts, pts, "doc_id", "doc_id", k = 5)
           val snap = Icelite.commit(spark, knn, s"$outRoot/knn", s"knn:$sfDir")
           println(s"""{"job":"knn","rows":${snap.rowCount}}""")
         case "stacdocs" =>

@@ -64,7 +64,12 @@ object Multimodal {
     val s = decode(col("html"), "UTF-8")
     val n = least(ceil(length(s) / lit(frameBytes.toDouble)).cast("int"), lit(maxFrames))
     media.select(col("doc_id"), s.as("__s"), n.as("__n"))
-      .withColumn("frame_idx", explode(sequence(lit(0), col("__n") - 1)))
+      // empty payload ⇒ __n = 0 and sequence(0, -1) auto-reverses to [0, -1],
+      // emitting two spurious frames (one negative-index, substr-from-end);
+      // guard the generator so zero-length media emits zero frames
+      .withColumn("frame_idx",
+        explode(when(col("__n") > 0, sequence(lit(0), col("__n") - 1))
+          .otherwise(array().cast("array<int>"))))
       .select(col("doc_id"), col("frame_idx").cast("long").as("frame_idx"),
         org.apache.spark.sql.graft.TextExpressions.h32(
           col("__s").substr(col("frame_idx") * frameBytes + 1, lit(frameBytes)))

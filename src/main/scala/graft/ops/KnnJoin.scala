@@ -60,14 +60,33 @@ object KnnJoin {
       .select(col(lonmCol).as("lonm"), col(latmCol).as("latm"))
       .localCheckpoint()
     val chosen = candidates.find { level =>
-      val maxPerCell = s
+      val row = s
         .select(org.apache.spark.sql.graft.CellExpressions
           .cell_at(col("lonm") / 1000.0, col("latm") / 1000.0, level).as("c"))
         .groupBy("c").count()
-        .agg(max("count")).head().getLong(0)
+        .agg(max("count")).head()
+      // an empty sample (tiny input × small fraction) aggregates to NULL:
+      // nothing measured ⇒ any level satisfies the bound, pick the coarsest
+      val maxPerCell = if (row.isNullAt(0)) 0L else row.getLong(0)
       maxPerCell / sampleFraction <= targetMaxPerCell
     }
     chosen.getOrElse(candidates.last)
+  }
+
+  /** [[knn]] with a density-auto-picked level ([[pickLevel]]); `levelOverride`
+    * (or env `GRAFT_KNN_LEVEL`) pins it for reproducing a measurement. The
+    * level does not affect the (exact) result set, only the join's cost —
+    * BENCH.md measured 4.5× at 600k skewed points hanging on this choice, so
+    * entry points must never hardcode it.
+    */
+  def knnAuto(spark: SparkSession, queries: DataFrame, points: DataFrame,
+              qId: String, pId: String, k: Int,
+              levelOverride: Option[Int] = None,
+              maxRounds: Int = 3, bruteThreshold: Long = 50000000L): DataFrame = {
+    val level = levelOverride
+      .orElse(sys.env.get("GRAFT_KNN_LEVEL").map(_.toInt))
+      .getOrElse(pickLevel(points))
+    knn(spark, queries, points, qId, pId, k, level, maxRounds, bruteThreshold)
   }
 
   /** Squared lon-wrapped millidegree distance as a column expression. */

@@ -20,13 +20,19 @@ import org.apache.spark.sql.functions._
   */
 object PathList {
 
-  private def scanDir(dir: String, suffix: String, maxDepth: Int): Seq[String] = {
+  /** S1 — both depth bounds of the reference walk (lib/walk.py:26-27):
+    * a file at depth d (files directly under `dir` are d = 1) is kept only
+    * when minDepth <= d <= maxDepth.
+    */
+  private def scanDir(dir: String, suffix: String, maxDepth: Int,
+                      minDepth: Int = 0): Seq[String] = {
     val root = Paths.get(dir)
     if (!Files.isDirectory(root)) Seq.empty
     else {
       val s = Files.walk(root, maxDepth)
       try s.iterator().asScala
-        .filter(p => Files.isRegularFile(p) && p.toString.endsWith(suffix))
+        .filter(p => Files.isRegularFile(p) && p.toString.endsWith(suffix) &&
+          root.relativize(p).getNameCount >= minDepth)
         .map(_.toString).toVector
       finally s.close()
     }
@@ -34,15 +40,15 @@ object PathList {
 
   /** Expand `src` to a one-column DataFrame of distinct file paths. */
   def expand(spark: SparkSession, src: String, suffix: String,
-             maxDepth: Int = 16): DataFrame = {
+             maxDepth: Int = 16, minDepth: Int = 0): DataFrame = {
     val paths: Seq[String] =
-      if (Files.isDirectory(Paths.get(src))) scanDir(src, suffix, maxDepth)
+      if (Files.isDirectory(Paths.get(src))) scanDir(src, suffix, maxDepth, minDepth)
       else if (src.endsWith(".txt") || src.endsWith(".csv")) {
         Files.readAllLines(Paths.get(src)).asScala.toSeq
           .map(_.trim)
           .filter(l => l.nonEmpty && !l.startsWith("#"))
           .flatMap { line =>
-            if (Files.isDirectory(Paths.get(line))) scanDir(line, suffix, maxDepth)
+            if (Files.isDirectory(Paths.get(line))) scanDir(line, suffix, maxDepth, minDepth)
             else if (line.endsWith(suffix)) Seq(line)
             else Seq.empty
           }

@@ -47,6 +47,31 @@ class HexGridSpec extends AnyFunSuite {
     assert(HexGrid.diskK(id, 3).length === 1 + 6 + 12 + 18)
   }
 
+  test("exact rounding ties round half away from zero (SQL ROUND semantics)") {
+    // independent reference restated with explicit SQL HALF_UP rounding
+    def sqlRound(x: Double): Long =
+      (if (x >= 0) math.floor(x + 0.5) else math.ceil(x - 0.5)).toLong
+    def ref(x: Double, y: Double, s: Double): (Long, Long) = {
+      val qf = (math.sqrt(3.0) / 3.0 * x - 1.0 / 3.0 * y) / s
+      val rf = (2.0 / 3.0 * y) / s
+      val yf = -qf - rf
+      var rx = sqlRound(qf); var ry = sqlRound(yf); var rz = sqlRound(rf)
+      val dx = math.abs(rx - qf); val dy = math.abs(ry - yf); val dz = math.abs(rz - rf)
+      if (dx > dy && dx > dz) rx = -ry - rz
+      else if (dy > dz) ry = -rx - rz
+      else rz = -rx - ry
+      (rx, rz)
+    }
+    // reachable exact tie: qf = -0.5 at (0, 3, 2) since IEEE (1.0/3.0)*3.0 == 1.0
+    assert(HexGrid.axialAt(0.0, 3.0, 2.0) === ref(0.0, 3.0, 2.0))
+    prop() { rnd =>
+      val s = 0.5 + rnd.nextDouble()
+      val x = (rnd.nextDouble() - 0.5) * 100
+      val y = (rnd.nextDouble() - 0.5) * 100
+      assert(HexGrid.axialAt(x, y, s) === ref(x, y, s))
+    }
+  }
+
   test("centers of adjacent hexes are sqrt(3)*s apart") {
     val s = 2.0
     val id = HexGrid.hexAt(0.0, 0.0, s)

@@ -155,6 +155,12 @@ class IceliteSpec extends SparkSpec {
     assert(!Icelite.verifyLineage(spark, t), "tampering must be detected")
   }
 
+  test("empty committed snapshot verifies (zero-row xor is vacuous)") {
+    val t = tmpDir() + "/lv2"
+    Icelite.commit(spark, Seq.empty[(Long, String)].toDF("id", "v"), t)
+    assert(Icelite.verifyLineage(spark, t))
+  }
+
   test("density cache: recompute skipped on matching fingerprint (S10)") {
     val root = tmpDir()
     val pages = graft.pages.Pages.fromDocuments(spark, Sf)
@@ -200,5 +206,9 @@ class IceliteSpec extends SparkSpec {
     val shallow = graft.sources.PathList.expand(spark, root.toString, "_dem.tif", maxDepth = 1)
       .as[String].collect().toSet
     assert(shallow === Set(root.resolve("a_dem.tif").toString))
+    // S1 lower bound: minDepth=2 sees only sub/, not the root level
+    val deep = graft.sources.PathList.expand(spark, root.toString, "_dem.tif", minDepth = 2)
+      .as[String].collect().toSet
+    assert(deep === Set(sub.resolve("b_dem.tif").toString))
   }
 }

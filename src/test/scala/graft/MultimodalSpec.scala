@@ -19,6 +19,14 @@ class MultimodalSpec extends SparkSpec {
     assert(a.forall(m => m.width >= 64 && m.width < 128))
   }
 
+  test("sampleFrames emits zero frames for empty media (no sequence(0,-1) reversal)") {
+    val media = Seq((1L, ""), (2L, "x" * 100)).toDF("doc_id", "s")
+      .select(col("doc_id"), encode(col("s"), "UTF-8").as("html"))
+    val frames = Multimodal.sampleFrames(media, frameBytes = 64, maxFrames = 8)
+    assert(frames.filter(col("doc_id") === 1L).count() === 0)
+    assert(frames.filter(col("doc_id") === 2L).count() === 2)
+  }
+
   test("feature column feeds the ANN operators") {
     val media = Pages.fromDocuments(spark, Sf).limit(50)
     val feats = Multimodal.withFeatures(spark, media)

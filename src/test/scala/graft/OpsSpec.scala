@@ -153,6 +153,22 @@ class OpsSpec extends SparkSpec {
     assert(got.length === distinctIds * 2)
   }
 
+  test("pickLevel falls back to the coarsest level on an empty sample") {
+    val tiny = Seq((1L, 1000L, 1000L), (2L, 2000L, 2000L)).toDF("id", "lonm", "latm")
+    // sample fraction so small the sample is (almost surely) empty — must not
+    // NPE on the NULL max aggregate, must return the first candidate
+    val level = KnnJoin.pickLevel(tiny, sampleFraction = 1e-9)
+    assert(level === 6)
+  }
+
+  test("knnAuto picks the level itself and stays exact (entry-point wiring)") {
+    val pts = Seq((1L, 10000L, 10000L), (2L, 10100L, 10000L), (3L, 50000L, 40000L))
+      .toDF("id", "lonm", "latm").localCheckpoint()
+    val got = KnnJoin.knnAuto(spark, pts, pts, "id", "id", k = 1)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    assert(got === Set((1L, 2L), (2L, 1L), (3L, 2L)))
+  }
+
   test("kNN self-heals on hot cells (skewed cluster)") {
     // 200 points all inside one 1-degree cell + 10 sparse outliers
     val hot = (0L until 200L).map { i =>
