@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, Observation}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.UserDefinedFunction
 import graft.cells.Cells
@@ -85,11 +85,18 @@ object PipJoin {
     *   both sides hash-shuffle on the long cell id instead — the exactly-one
     *   pick still runs map-side after the join, and AQE skew-split covers hot
     *   cells. Same output, one extra exchange of the point keys.
+    * @param observer optional [[Observation]] receiving the J2 skip metrics
+    *   (`skip_nomatch`, `skip_multi`, `n_shelved` — the reference warns and
+    *   counts both skip classes, lib/utils.py:694-702). Without it the same
+    *   metrics are still observed under the name `shelve_metrics_<polyId>`
+    *   (readable via a QueryExecutionListener); pass an observer explicitly
+    *   when composing two shelves over the same polyId column in one query.
     */
   def shelve(points: DataFrame, polys: DataFrame,
              pointId: String, lon: String, lat: String,
              polyId: String, ring: String,
-             level: Int = 8, broadcastCells: Boolean = true): DataFrame = {
+             level: Int = 8, broadcastCells: Boolean = true,
+             observer: Option[Observation] = None): DataFrame = {
     val covered = polys
       .select(col(polyId), col(ring).as("__ring"))
       .withColumn("__cov", explode(coverUdf(col("__ring"), lit(level))))
@@ -111,11 +118,35 @@ object PipJoin {
       CellExpressions.cell_at(col(lon), col(lat), level))
     val cellSide = if (broadcastCells) broadcast(byCell2)
                    else byCell2.hint("shuffle_hash")
-    pts.join(cellSide, Seq("__cell"), "inner")
-      .withColumn(polyId, coalesce(col("__fastpid"),
-        CellExpressions.shelve_pick(col("__slowcands"), col(lon), col(lat))))
+    // LEFT join: points whose cell holds no candidate tile at all must still
+    // reach the metrics pass (they are 0-match skips in the reference)
+    val joined = pts.join(cellSide, Seq("__cell"), "left")
+    // Single-evaluation pick: ONE kernel call per row computes
+    // (pid-if-exactly-one, match count) as a struct in its own projection.
+    // The CollectMetrics (observe) node directly above is a pushdown barrier:
+    // without it Catalyst inlines the pick into the join-condition null
+    // filter AND the output project, and Filter codegen has no subexpression
+    // elimination — round 2 measured the ray-cast running twice per
+    // boundary-cell row (PLANS.md q_pip_shelve). PlanSpec asserts exactly one
+    // `shelvepickn` call site survives in the physical plan.
+    val pick = col("__pick")
+    val nMatches = when(col("__fastpid").isNotNull, lit(1))
+      .otherwise(coalesce(pick.getField("n"), lit(0)))
+    val pickedPid = coalesce(col("__fastpid"), pick.getField("pid"))
+    val projected = joined.withColumn("__pick",
+      CellExpressions.shelve_pick_n(col("__slowcands"), col(lon), col(lat)))
+    val metrics = Seq(
+      sum(when(nMatches === 0, 1L).otherwise(0L)).as("skip_nomatch"),
+      sum(when(nMatches > 1, 1L).otherwise(0L)).as("skip_multi"),
+      sum(when(pickedPid.isNotNull, 1L).otherwise(0L)).as("n_shelved"))
+    val observed = observer match {
+      case Some(obs) => projected.observe(obs, metrics.head, metrics.tail: _*)
+      case None => projected.observe(s"shelve_metrics_$polyId", metrics.head, metrics.tail: _*)
+    }
+    observed
+      .withColumn(polyId, pickedPid)
       .filter(col(polyId).isNotNull)
-      .drop("__cell", "__fastpid", "__slowcands")
+      .drop("__cell", "__fastpid", "__slowcands", "__pick")
   }
 
   /** Rectangle ring column builder (x0,y0)-(x1,y1) as a flat ring. */

@@ -16,9 +16,10 @@ import org.apache.spark.sql.functions._
   * rename-based commit maps to a conditional PUT of the pointer object):
   * {{{
   * <table>/
-  *   data/<snapshotUuid>/part-*.parquet     -- immutable data files
-  *   meta/snapshot-<id>.json                -- manifest: files, counts, lineage
-  *   _CURRENT                               -- atomic pointer: current snapshot id
+  *   data/<snapshotUuid>/part-*.parquet             -- unbucketed data files
+  *   data/<snapshotUuid>/__bucket=<b>/part-*.parquet -- PK-hash-bucketed files
+  *   meta/snapshot-<id>.json                        -- manifest: file entries
+  *   _CURRENT                                       -- atomic pointer
   * }}}
   *
   * Commit protocol: write data to a fresh uuid dir → write the manifest →
@@ -28,6 +29,12 @@ import org.apache.spark.sql.functions._
   * `.cogfin` in package_setsm.py:395-438 and the `--check` verification of
   * index_setsm.py:1179-1197).
   *
+  * Lineage is PER DATA FILE (rows + xor-of-hash checksum — the Iceberg
+  * manifest-entry analog; a Spark partition id is ephemeral, the written
+  * file IS the durable partition). File-level lineage is what lets
+  * [[merge]] carry untouched files into the next snapshot verbatim with
+  * their lineage intact, so upsert IO is O(batch), not O(table).
+  *
   * Resume: [[Pipeline.stage]] skips a stage whose table already has a
   * committed snapshot for the same input fingerprint — the Spark analog of
   * the reference's "expected outputs exist" incomplete-task skip
@@ -35,9 +42,14 @@ import org.apache.spark.sql.functions._
   */
 object Icelite {
 
-  case class Snapshot(id: Long, uuid: String, files: Seq[String], rowCount: Long,
-                      inputFingerprint: String, partitions: Seq[PartitionLineage])
-  case class PartitionLineage(partitionId: Int, rows: Long, checksum: Long)
+  /** One immutable data file: its PK-hash bucket (-1 = unbucketed) and
+    * lineage (row count + order-independent xor-of-row-hash checksum). */
+  case class FileEntry(path: String, bucket: Int, rows: Long, checksum: Long)
+
+  case class Snapshot(id: Long, uuid: String, files: Seq[FileEntry], rowCount: Long,
+                      inputFingerprint: String, nBuckets: Int) {
+    def filePaths: Seq[String] = files.map(_.path)
+  }
 
   private def metaDir(table: String): Path = Paths.get(table, "meta")
   private def currentPtr(table: String): Path = Paths.get(table, "_CURRENT")
@@ -57,62 +69,84 @@ object Icelite {
         .getOrElse(throw new IllegalStateException(s"manifest missing $k"))
       Option(m.group(2)).getOrElse(m.group(1))
     }
-    val files = """"files"\s*:\s*\[([^\]]*)\]""".r.findFirstMatchIn(txt).get
-      .group(1).split(",").map(_.trim.stripPrefix("\"").stripSuffix("\""))
-      .filter(_.nonEmpty).toSeq
-    val parts = """\{"pid":(\d+),"rows":(\d+),"checksum":(-?\d+)\}""".r
+    val files = """\{"path":"([^"]*)","bucket":(-?\d+),"rows":(\d+),"checksum":(-?\d+)\}""".r
       .findAllMatchIn(txt)
-      .map(m => PartitionLineage(m.group(1).toInt, m.group(2).toLong, m.group(3).toLong))
+      .map(m => FileEntry(m.group(1), m.group(2).toInt, m.group(3).toLong, m.group(4).toLong))
       .toSeq
     Snapshot(field("id").toLong, field("uuid"), files, field("rowCount").toLong,
-      field("inputFingerprint"), parts)
+      field("inputFingerprint"), field("nBuckets").toInt)
   }
 
-  /** Commit a DataFrame as the table's next snapshot. Returns the snapshot.
-    *
-    * Per-partition lineage (row count + xor-of-hash checksum) is computed in
-    * the same pass that writes the data (one extra narrow aggregation), so a
-    * resumed run can verify partition equality without re-reading data.
+  /** Per-file lineage of freshly written parquet under `dataDir`: one scan,
+    * grouped by physical file. `dataCols` is the logical schema (the
+    * `__bucket` partition directory column is layout, not data).
     */
-  def commit(spark: SparkSession, df: DataFrame, table: String,
-             inputFingerprint: String = ""): Snapshot = {
+  private def fileLineage(spark: SparkSession, dataDir: Path,
+                          dataCols: Seq[String]): Seq[FileEntry] = {
+    val written = spark.read.parquet(dataDir.toString)
+    val bucketRe = """__bucket=(\d+)""".r
+    written
+      .withColumn("__file", input_file_name())
+      // order-independent checksum; bit_xor never overflows (ANSI mode is on
+      // by default in Spark 4 and sum(long) would throw)
+      .groupBy("__file")
+      .agg(count(lit(1)).as("rows"),
+        bit_xor(xxhash64(dataCols.map(col): _*)).as("checksum"))
+      .collect()
+      .map { r =>
+        val path = new java.net.URI(r.getString(0)).getPath
+        val bucket = bucketRe.findFirstMatchIn(path).map(_.group(1).toInt).getOrElse(-1)
+        FileEntry(path, bucket, r.getLong(1), r.getLong(2))
+      }.toSeq.sortBy(_.path)
+  }
+
+  /** Write `df` into a fresh uuid data dir (bucketed by `__bucket` when the
+    * column is present) and return its per-file lineage entries.
+    */
+  private def writeData(spark: SparkSession, df: DataFrame, table: String): (String, Seq[FileEntry]) = {
     val uuid = UUID.randomUUID().toString
     val dataDir = Paths.get(table, "data", uuid)
+    val bucketed = df.columns.contains("__bucket")
+    if (bucketed)
+      df.write.mode("overwrite").partitionBy("__bucket").parquet(dataDir.toString)
+    else
+      df.write.mode("overwrite").parquet(dataDir.toString)
+    val dataCols = df.columns.filterNot(_ == "__bucket").toSeq
+    val entries =
+      if (Files.list(dataDir).iterator().asScala.exists(p =>
+        p.toString.endsWith(".parquet") || Files.isDirectory(p)))
+        fileLineage(spark, dataDir, dataCols)
+      else Seq.empty // empty write: only _SUCCESS
+    (uuid, entries)
+  }
+
+  /** The commit section: id allocation + manifest + pointer swap, serialized
+    * by an OS file lock so two concurrent committers can neither compute the
+    * same id nor drop each other's committed snapshot (on an object store
+    * this whole section maps to a conditional PUT of the pointer).
+    * `expectedBase`: when Some(base), commit only if the current snapshot id
+    * still equals `base` (optimistic concurrency for [[merge]]) — returns
+    * None on a lost race so the caller can recompute from the new base.
+    * Manifests are written CREATE_NEW: ids never overwrite.
+    */
+  private def commitEntries(table: String, uuid: String, entries: Seq[FileEntry],
+                            inputFingerprint: String, nBuckets: Int,
+                            expectedBase: Option[Option[Long]]): Option[Snapshot] = {
     Files.createDirectories(metaDir(table))
-
-    df.write.mode("overwrite").parquet(dataDir.toString)
-
-    // lineage from the files just written (stable regardless of write path)
-    val written = spark.read.parquet(dataDir.toString)
-    val lineage = written
-      .withColumn("__pid", spark_partition_id())
-      .withColumn("__h", xxhash64(written.columns.map(col): _*))
-      .groupBy("__pid")
-      .agg(count(lit(1)).as("rows"),
-        // order-independent checksum; bit_xor never overflows (ANSI mode
-        // is on by default in Spark 4 and sum(long) would throw)
-        bit_xor(col("__h")).as("checksum"))
-      .collect()
-      .map(r => PartitionLineage(r.getInt(0), r.getLong(1), r.getLong(2)))
-      .toSeq
-    val rowCount = lineage.map(_.rows).sum
-
-    val files = Files.list(dataDir).iterator().asScala
-      .map(_.toString).filter(_.endsWith(".parquet")).toSeq.sorted
-
-    // Commit section: id allocation + manifest + pointer swap are serialized
-    // by an OS file lock so two concurrent committers can neither compute
-    // the same id nor drop each other's committed snapshot (on an object
-    // store this whole section maps to a conditional PUT of the pointer).
-    // The manifest is additionally written CREATE_NEW: ids never overwrite.
+    val rowCount = entries.map(_.rows).sum
     val lockCh = FileChannel.open(Paths.get(table, "_LOCK"),
       StandardOpenOption.CREATE, StandardOpenOption.WRITE)
     val lock = lockCh.lock()
     try {
-      var id = currentSnapshotId(table).getOrElse(0L) + 1
+      val cur = currentSnapshotId(table)
+      expectedBase match {
+        case Some(base) if base != cur => return None // lost the race
+        case _ =>
+      }
+      var id = cur.getOrElse(0L) + 1
       var written = false
       while (!written) {
-        val manifest = manifestJson(id, uuid, rowCount, inputFingerprint, files, lineage)
+        val manifest = manifestJson(id, uuid, rowCount, inputFingerprint, nBuckets, entries)
         try {
           Files.writeString(metaDir(table).resolve(s"snapshot-$id.json"),
             manifest, StandardOpenOption.CREATE_NEW)
@@ -126,23 +160,31 @@ object Icelite {
       Files.writeString(tmp, id.toString)
       Files.move(tmp, currentPtr(table), StandardCopyOption.ATOMIC_MOVE,
         StandardCopyOption.REPLACE_EXISTING)
-      Snapshot(id, uuid, files, rowCount, inputFingerprint, lineage)
+      Some(Snapshot(id, uuid, entries, rowCount, inputFingerprint, nBuckets))
     } finally {
       lock.release(); lockCh.close()
     }
   }
 
+  /** Commit a DataFrame as the table's next snapshot (full overwrite of the
+    * logical content; previous snapshots stay readable via their manifests).
+    */
+  def commit(spark: SparkSession, df: DataFrame, table: String,
+             inputFingerprint: String = ""): Snapshot = {
+    val (uuid, entries) = writeData(spark, df, table)
+    commitEntries(table, uuid, entries, inputFingerprint, 0, None).get
+  }
+
   private def manifestJson(id: Long, uuid: String, rowCount: Long,
-                           inputFingerprint: String, files: Seq[String],
-                           lineage: Seq[PartitionLineage]): String = {
-    val fileArr = files.map(f => s""""$f"""").mkString("[", ",", "]")
-    val partArr = lineage.map(p =>
-      s"""{"pid":${p.partitionId},"rows":${p.rows},"checksum":${p.checksum}}""")
+                           inputFingerprint: String, nBuckets: Int,
+                           entries: Seq[FileEntry]): String = {
+    val fileArr = entries.map(f =>
+      s"""{"path":"${f.path}","bucket":${f.bucket},"rows":${f.rows},"checksum":${f.checksum}}""")
       .mkString("[", ",", "]")
     s"""{"id":$id,"uuid":"$uuid","rowCount":$rowCount,
        |"inputFingerprint":"$inputFingerprint",
-       |"files":$fileArr,
-       |"partitions":$partArr}""".stripMargin
+       |"nBuckets":$nBuckets,
+       |"files":$fileArr}""".stripMargin
   }
 
   /** S17 — MERGE-style idempotent upsert commit (the snapshot-table analog of
@@ -151,28 +193,74 @@ object Icelite {
     * batch on its primary key, drop current-snapshot rows whose PK collides
     * (incoming wins — DO UPDATE), union, and commit as the next snapshot.
     *
+    * O(batch), not O(table): data files are hash-bucketed by PK
+    * (`pmod(hash(pk…), nBuckets)` → `__bucket=<b>` directories). A merge
+    * rewrites ONLY the buckets the incoming batch touches; every other
+    * file entry is carried into the new manifest verbatim (path + lineage),
+    * exactly like Iceberg merge-on-read compaction carries untouched data
+    * files. The reference's `ON CONFLICT` touches only conflicting rows;
+    * at 100 TB a daily metadata upsert must not rewrite 100 TB.
+    *
     * Idempotent: re-running the same merge converges to the same row set
     * (modulo snapshot id), and a crash before the pointer swap leaves the
-    * previous snapshot intact (half-written data dirs are invisible to
-    * readers — commit protocol above).
+    * previous snapshot intact. Concurrency-safe: the row set is computed
+    * against a base snapshot and committed only if that base is still
+    * current (checked under the commit lock); a lost race recomputes from
+    * the winner's snapshot instead of silently dropping its upserts.
     *
-    * Scale: one anti-join on the PK (both sides shuffle once on the key);
-    * the base side at 100 TB would be partition-pruned by PK range in a real
-    * object-store layout — here the semantics are what matters.
+    * `nBuckets` fixes the bucket layout at table creation; merging with a
+    * different value triggers a one-time full re-bucketing rewrite.
     */
   def merge(spark: SparkSession, df: DataFrame, table: String,
-            pkCols: Seq[String], inputFingerprint: String = ""): Snapshot = {
-    val incoming = df.dropDuplicates(pkCols)
-    val merged = currentSnapshotId(table) match {
-      case Some(_) =>
-        read(spark, table)
-          .join(incoming.select(pkCols.map(col): _*).distinct(), pkCols, "left_anti")
-          .unionByName(incoming)
-      case None => incoming
+            pkCols: Seq[String], inputFingerprint: String = "",
+            nBuckets: Int = 32): Snapshot = {
+    require(!df.columns.contains("__bucket"), "__bucket is a reserved column")
+    val bucketOf = pmod(hash(pkCols.map(col): _*), lit(nBuckets))
+    val incoming = df.dropDuplicates(pkCols).withColumn("__bucket", bucketOf)
+      .localCheckpoint() // the batch is re-scanned per attempt; pin it
+    val touched = incoming.select("__bucket").distinct()
+      .collect().map(_.getInt(0)).toSet // ≤ nBuckets values — driver-safe
+
+    var attempt = 0
+    while (attempt < 8) {
+      attempt += 1
+      val baseId = currentSnapshotId(table)
+      val (carried, toMerge): (Seq[FileEntry], DataFrame) = baseId match {
+        case None => (Seq.empty, incoming)
+        case Some(id) =>
+          val base = readManifest(table, id)
+          if (base.nBuckets == nBuckets) {
+            val carry = base.files.filterNot(f => touched(f.bucket))
+            val hot = base.files.filter(f => touched(f.bucket))
+            val baseRows =
+              if (hot.isEmpty) None
+              else Some(spark.read.parquet(hot.map(_.path): _*).withColumn("__bucket", bucketOf))
+            val merged = baseRows match {
+              case Some(b) => b
+                .join(incoming.select(pkCols.map(col): _*).distinct(), pkCols, "left_anti")
+                .unionByName(incoming)
+              case None => incoming
+            }
+            (carry, merged)
+          } else {
+            // bucket-layout change (or legacy unbucketed snapshot): full rewrite
+            val all = spark.read.parquet(base.filePaths: _*).withColumn("__bucket", bucketOf)
+              .join(incoming.select(pkCols.map(col): _*).distinct(), pkCols, "left_anti")
+              .unionByName(incoming)
+            (Seq.empty, all)
+          }
+      }
+      // safe to stream from the current snapshot: data is written to a fresh
+      // uuid dir, so the plan's input files are never overwritten mid-scan
+      val (uuid, newEntries) = writeData(spark, toMerge, table)
+      commitEntries(table, uuid, carried ++ newEntries, inputFingerprint,
+        nBuckets, Some(baseId)) match {
+        case Some(snap) => return snap
+        case None => // base advanced under us: drop the orphan write, recompute
+          deleteRecursively(Paths.get(table, "data", uuid))
+      }
     }
-    // safe to stream from the current snapshot: commit() writes to a fresh
-    // uuid dir, so the plan's input files are never overwritten mid-scan
-    commit(spark, merged, table, inputFingerprint)
+    throw new IllegalStateException(s"merge on $table lost ${attempt} commit races")
   }
 
   /** Read the current snapshot's rows (only manifest-listed files — uncommitted
@@ -183,15 +271,15 @@ object Icelite {
       throw new IllegalStateException(s"no committed snapshot in $table"))
     val snap = readManifest(table, id)
     if (snap.files.isEmpty) spark.emptyDataFrame
-    else spark.read.parquet(snap.files: _*)
+    else spark.read.parquet(snap.filePaths: _*)
   }
 
   /** Lineage verification: recompute the snapshot's content fingerprint from
-    * its data files and compare against the manifest's per-partition lineage.
+    * its data files and compare against the manifest's per-file lineage.
     * Row hashes xor-combine associatively, so the check is independent of
     * how a re-read re-partitions the files: total rows must equal the
     * manifest rowCount and the global xor of row hashes must equal the xor
-    * of the recorded per-partition checksums. Detects any lost/duplicated/
+    * of the recorded per-file checksums. Detects any lost/duplicated/
     * altered row in a committed snapshot (bit-flip, truncated file, manual
     * tampering) without needing the original partitioning.
     */
@@ -199,11 +287,11 @@ object Icelite {
     val id = currentSnapshotId(table).getOrElse(return false)
     val snap = readManifest(table, id)
     if (snap.files.isEmpty) return snap.rowCount == 0
-    val df = spark.read.parquet(snap.files: _*)
+    val df = spark.read.parquet(snap.filePaths: _*)
     val row = df.agg(
       count(lit(1)).as("n"),
       bit_xor(xxhash64(df.columns.map(col): _*)).as("x")).head()
-    val expectedXor = snap.partitions.map(_.checksum).foldLeft(0L)(_ ^ _)
+    val expectedXor = snap.files.map(_.checksum).foldLeft(0L)(_ ^ _)
     // a committed empty DataFrame still writes a schema-only part file:
     // files non-empty, zero rows, and bit_xor over zero rows is NULL —
     // compare the xor only when rows exist
@@ -220,6 +308,65 @@ object Icelite {
     val fwd = df.select(idCol)
     fwd.join(back, Seq(idCol), "left_anti").count() +
       back.join(fwd, Seq(idCol), "left_anti").count()
+  }
+
+  /** Iceberg `expire_snapshots` analog: keep the newest `retain` snapshot
+    * manifests, delete older manifests, then garbage-collect every data file
+    * (and empty dir) no retained manifest references — including orphans
+    * from crashed commits and lost merge races. Maintenance operation: must
+    * not run concurrently with an in-flight writer (a fresh uuid dir whose
+    * manifest is not yet written would look orphaned — the standard Iceberg
+    * caveat). Returns (manifests deleted, data files deleted).
+    */
+  def expireSnapshots(table: String, retain: Int = 2): (Int, Int) = {
+    require(retain >= 1, "must retain at least the current snapshot")
+    val cur = currentSnapshotId(table).getOrElse(return (0, 0))
+    val manifestRe = """snapshot-(\d+)\.json""".r
+    val ids = Files.list(metaDir(table)).iterator().asScala
+      .flatMap(p => manifestRe.findFirstMatchIn(p.getFileName.toString).map(_.group(1).toLong))
+      .toSeq.sorted
+    val (expired, kept) = ids.partition(_ <= cur - retain)
+    val referenced: Set[String] =
+      kept.flatMap(id => readManifest(table, id).filePaths).toSet
+    expired.foreach(id => Files.delete(metaDir(table).resolve(s"snapshot-$id.json")))
+    // GC: delete unreferenced files under data/, then prune empty dirs
+    val dataRoot = Paths.get(table, "data")
+    var deleted = 0
+    if (Files.isDirectory(dataRoot)) {
+      // keep a referenced file's Hadoop .crc sidecar; _SUCCESS markers and
+      // everything else unreferenced goes
+      def keep(p: Path): Boolean = {
+        val name = p.getFileName.toString
+        referenced.contains(p.toString) ||
+          (name.startsWith(".") && name.endsWith(".crc") &&
+            referenced.contains(p.getParent.resolve(name.drop(1).dropRight(4)).toString))
+      }
+      val walk = Files.walk(dataRoot)
+      try {
+        walk.iterator().asScala.filter(Files.isRegularFile(_)).toSeq.foreach { p =>
+          if (!keep(p)) { Files.delete(p); deleted += 1 }
+        }
+      } finally walk.close()
+      pruneEmptyDirs(dataRoot)
+    }
+    (expired.size, deleted)
+  }
+
+  private def pruneEmptyDirs(root: Path): Unit = {
+    val walk = Files.walk(root)
+    val dirs = try walk.iterator().asScala.filter(Files.isDirectory(_)).toSeq
+               finally walk.close()
+    dirs.sortBy(-_.getNameCount).foreach { d =>
+      if (d != root && !Files.list(d).iterator().hasNext) Files.delete(d)
+    }
+  }
+
+  private def deleteRecursively(p: Path): Unit = {
+    if (Files.exists(p)) {
+      val walk = Files.walk(p)
+      val all = try walk.iterator().asScala.toSeq finally walk.close()
+      all.sortBy(-_.getNameCount).foreach(Files.deleteIfExists(_))
+    }
   }
 }
 

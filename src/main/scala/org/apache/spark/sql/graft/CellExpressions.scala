@@ -127,6 +127,26 @@ object GraftKernels {
       }
       if (hits == 1) picked else null
     }
+
+    /** [[shelvePick]] plus the match count, in ONE candidate pass: returns
+      * struct(pid: pid-if-exactly-one-else-null, n: total matches). The count
+      * feeds the J2 skip metrics (the reference warns and reports ALL
+      * overlapping tiles, lib/utils.py:694-702, so no early exit at 2).
+      */
+    def shelvePickN(cands: ArrayData, px: Double, py: Double): org.apache.spark.sql.catalyst.InternalRow = {
+      var picked: org.apache.spark.unsafe.types.UTF8String = null
+      var hits = 0
+      var i = 0
+      val n = cands.numElements()
+      while (i < n) {
+        val row = cands.getStruct(i, 3)
+        val in = row.getBoolean(2) || pip(row.getArray(1), px, py)
+        if (in) { hits += 1; picked = row.getUTF8String(0) }
+        i += 1
+      }
+      new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+        Array[Any](if (hits == 1) picked else null, hits))
+    }
 }
 
 object CellExpressions {
@@ -183,6 +203,27 @@ object CellExpressions {
       res
     }
     override protected def withNewChildrenInternal(f: Expression, s: Expression, t: Expression): ShelvePick =
+      copy(first = f, second = s, third = t)
+  }
+
+  /** [[ShelvePick]] + match count in one candidate pass, as a struct
+    * (pid: STRING nullable, n: INT). Materialized into its own projection by
+    * [[graft.ops.PipJoin.shelve]] so the plan carries exactly ONE call site —
+    * field extraction above it touches only the struct attribute.
+    */
+  case class ShelvePickN(first: Expression, second: Expression, third: Expression)
+      extends TernaryExpression {
+    override def dataType: DataType = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("pid", org.apache.spark.sql.types.StringType, nullable = true),
+      org.apache.spark.sql.types.StructField("n", org.apache.spark.sql.types.IntegerType, nullable = false)))
+    override def nullable: Boolean = first.nullable || second.nullable || third.nullable
+    override protected def nullSafeEval(cands: Any, px: Any, py: Any): Any =
+      Kernels.shelvePickN(cands.asInstanceOf[ArrayData],
+        px.asInstanceOf[Double], py.asInstanceOf[Double])
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, (cands, px, py) =>
+        s"${ev.value} = $K.shelvePickN($cands, $px, $py);")
+    override protected def withNewChildrenInternal(f: Expression, s: Expression, t: Expression): ShelvePickN =
       copy(first = f, second = s, third = t)
   }
 
@@ -281,6 +322,12 @@ object CellExpressions {
 
   def shelve_pick(cands: Column, px: Column, py: Column): Column =
     ExpressionUtils.column(ShelvePick(
+      ExpressionUtils.expression(cands),
+      ExpressionUtils.expression(px.cast("double")),
+      ExpressionUtils.expression(py.cast("double"))))
+
+  def shelve_pick_n(cands: Column, px: Column, py: Column): Column =
+    ExpressionUtils.column(ShelvePickN(
       ExpressionUtils.expression(cands),
       ExpressionUtils.expression(px.cast("double")),
       ExpressionUtils.expression(py.cast("double"))))

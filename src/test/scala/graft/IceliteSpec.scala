@@ -19,7 +19,7 @@ class IceliteSpec extends SparkSpec {
     val df = (1 to 100).map(i => (i.toLong, s"v$i")).toDF("id", "v")
     val snap = Icelite.commit(spark, df, t)
     assert(snap.rowCount === 100)
-    assert(snap.partitions.map(_.rows).sum === 100)
+    assert(snap.files.map(_.rows).sum === 100)
     val back = Icelite.read(spark, t)
     assert(back.count() === 100)
     assert(back.as[(Long, String)].collect().toSet === df.as[(Long, String)].collect().toSet)
@@ -40,7 +40,7 @@ class IceliteSpec extends SparkSpec {
     Icelite.commit(spark, Seq((2L, "b"), (3L, "c")).toDF("id", "v"), t)
     assert(Icelite.currentSnapshotId(t) === Some(2L))
     val s1 = Icelite.readManifest(t, 1)
-    assert(spark.read.parquet(s1.files: _*).count() === 1)
+    assert(spark.read.parquet(s1.filePaths: _*).count() === 1)
     assert(Icelite.read(spark, t).count() === 2)
   }
 
@@ -135,13 +135,68 @@ class IceliteSpec extends SparkSpec {
       === Set((1L, "a"), (9L, "g2")))
   }
 
+  test("merge rewrites only touched buckets; untouched files carry verbatim (O(batch))") {
+    val t = tmpDir() + "/m5"
+    val big = (1 to 1000).map(i => (i.toLong, s"v$i")).toDF("id", "v")
+    Icelite.merge(spark, big, t, Seq("id"), nBuckets = 16)
+    val s1 = Icelite.readManifest(t, Icelite.currentSnapshotId(t).get)
+    assert(s1.nBuckets === 16)
+    assert(s1.files.map(_.bucket).distinct.sorted === (0 until 16))
+    // single-row upsert touches exactly one bucket
+    Icelite.merge(spark, Seq((5L, "V5")).toDF("id", "v"), t, Seq("id"), nBuckets = 16)
+    val s2 = Icelite.readManifest(t, Icelite.currentSnapshotId(t).get)
+    // every file of every untouched bucket is carried with IDENTICAL path +
+    // lineage (immutable files: same path = same bytes)
+    val replaced = s1.files.toSet -- s2.files.toSet
+    val replacedBuckets = replaced.map(_.bucket)
+    assert(replacedBuckets.size === 1, s"one bucket must be rewritten, got $replacedBuckets")
+    assert(s1.files.filterNot(f => replacedBuckets(f.bucket)).toSet
+      .subsetOf(s2.files.toSet), "untouched buckets' file entries must carry verbatim")
+    assert((s2.files.toSet -- s1.files.toSet).forall(f => replacedBuckets(f.bucket)),
+      "new files may only land in the touched bucket")
+    // content + lineage still correct
+    val got = Icelite.read(spark, t).as[(Long, String)].collect().toSet
+    assert(got === (1 to 1000).map(i => (i.toLong, if (i == 5) "V5" else s"v$i")).toSet)
+    assert(Icelite.verifyLineage(spark, t))
+  }
+
+  test("merge onto a legacy unbucketed snapshot re-buckets once") {
+    val t = tmpDir() + "/m6"
+    Icelite.commit(spark, Seq((1L, "a"), (2L, "b")).toDF("id", "v"), t) // nBuckets = 0
+    Icelite.merge(spark, Seq((2L, "B")).toDF("id", "v"), t, Seq("id"), nBuckets = 4)
+    val s = Icelite.readManifest(t, Icelite.currentSnapshotId(t).get)
+    assert(s.nBuckets === 4)
+    assert(Icelite.read(spark, t).as[(Long, String)].collect().toSet
+      === Set((1L, "a"), (2L, "B")))
+    assert(Icelite.verifyLineage(spark, t))
+  }
+
+  test("expireSnapshots keeps current reads, drops old manifests, GCs orphans") {
+    val t = tmpDir() + "/exp1"
+    val base = (1 to 100).map(i => (i.toLong, s"v$i")).toDF("id", "v")
+    Icelite.merge(spark, base, t, Seq("id"), nBuckets = 4)
+    Icelite.merge(spark, Seq((1L, "x")).toDF("id", "v"), t, Seq("id"), nBuckets = 4)
+    Icelite.merge(spark, Seq((2L, "y")).toDF("id", "v"), t, Seq("id"), nBuckets = 4)
+    // stray orphan from a crashed commit
+    Seq((99L, "ghost")).toDF("id", "v").write.parquet(t + "/data/orphan-uuid")
+    val before = Icelite.read(spark, t).as[(Long, String)].collect().toSet
+    val (mDel, fDel) = Icelite.expireSnapshots(t, retain = 1)
+    assert(mDel === 2)
+    assert(fDel > 0)
+    assert(Icelite.read(spark, t).as[(Long, String)].collect().toSet === before)
+    assert(Icelite.verifyLineage(spark, t))
+    assert(!Files.exists(Paths.get(t, "data", "orphan-uuid")), "orphan dir must be GC'd")
+    assert(!Files.exists(Paths.get(t, "meta", "snapshot-1.json")))
+    assert(Files.exists(Paths.get(t, "meta", "snapshot-3.json")))
+  }
+
   test("lineage verification detects tampered snapshot data") {
     val t = tmpDir() + "/lv1"
     val df = (1 to 200).map(i => (i.toLong, s"v$i")).toDF("id", "v")
     val snap = Icelite.commit(spark, df, t)
     assert(Icelite.verifyLineage(spark, t), "pristine snapshot must verify")
     // tamper: overwrite one data file with different rows (same schema)
-    val victim = snap.files.head
+    val victim = snap.files.head.path
     val tmp = tmpDir() + "/tampered"
     Seq((9999L, "evil")).toDF("id", "v").coalesce(1).write.parquet(tmp)
     val replacement = new java.io.File(tmp).listFiles()

@@ -66,6 +66,26 @@ class OpsSpec extends SparkSpec {
     assert(multi > 0, "fixture must exercise the >1-match skip branch")
   }
 
+  test("shelve observes the J2 skip metrics (0-match / multi-match counts)") {
+    val pts = points(3000).toDF("pid", "lon", "lat")
+    val pl = polys.map { case (n, r) => (n, r.toSeq) }.toDF("poly_id", "ring")
+    val obs = org.apache.spark.sql.Observation("shelve_obs")
+    val shelved = PipJoin.shelve(pts, pl, "pid", "lon", "lat", "poly_id", "ring",
+      level = 6, observer = Some(obs))
+    val nShelved = shelved.count()
+    // ground truth from the brute-force scan
+    val matchCounts = points(3000).map { case (pid, lon, lat) =>
+      polys.count { case (_, ring) => Geom.contains(ring, lon, lat) }
+    }
+    val m = obs.get
+    assert(m("n_shelved") === matchCounts.count(_ == 1).toLong)
+    assert(m("n_shelved") === nShelved)
+    assert(m("skip_nomatch") === matchCounts.count(_ == 0).toLong)
+    assert(m("skip_multi") === matchCounts.count(_ > 1).toLong)
+    assert(m("skip_multi").asInstanceOf[Long] > 0, "fixture must exercise multi-match")
+    assert(m("skip_nomatch").asInstanceOf[Long] > 0, "fixture must exercise 0-match")
+  }
+
   test("kNN join equals brute force incl. lon wrap (k=3)") {
     // 400 points; includes near-antimeridian pairs via the modular spread
     val n = 400

@@ -41,6 +41,14 @@ class PlanSpec extends SparkSpec {
     assert(!plan.contains("SortMergeJoin"))
   }
 
+  test("shelve evaluates the pick kernel exactly once in the physical plan") {
+    val q = SparkEntry.queries("q_pip_shelve")(spark, Sf)
+    val plan = planOf(q)
+    val calls = "shelvepickn".r.findAllIn(plan.toLowerCase).length
+    assert(calls === 1,
+      s"pick must appear at ONE call site (round-2 plan ray-cast twice), got $calls:\n${plan.take(3000)}")
+  }
+
   test("region join (J1) broadcasts the dim side") {
     val q = SparkEntry.queries("q_region_join")(spark, Sf)
     assert(planOf(q).contains("BroadcastHashJoin"))
