@@ -275,6 +275,11 @@ object SparkEntry {
     "q_cosine_pairs" -> ((s, dir) =>
       Ann.cosinePairs(s.read.parquet(s"$dir/embeddings.parquet"), 0.2)),
 
+    // --- similarity: LSH-bucketed near-dup pairs (the scale path for pairs —
+    // the embedding analog of q_minhash_pairs; q_cosine_pairs is its brute twin)
+    "q_lsh_pairs" -> ((s, dir) =>
+      Ann.lshPairs(s.read.parquet(s"$dir/embeddings.parquet"), 0.2)),
+
     // --- similarity: LSH bucket assignment (the scale path)
     "q_lsh_buckets" -> ((s, dir) =>
       Ann.lshBuckets(s.read.parquet(s"$dir/embeddings.parquet"))
@@ -393,12 +398,90 @@ object SparkEntry {
           when(col("rec_mode") === "orig", "tape").otherwise("online"))
         .select(col("scenedemid"), col("stripdemid"), col("rec_mode"), col("status"))),
 
-    // --- P11: release-fields projection (rename + drop)
-    "q_release_fields" -> ((s, dir) =>
-      Ladder.strips(s, dir)
-        .withColumn("GSD", lit(2.0))
-        .select(col("dem_id").as("DEM_ID"), col("stripdemid").as("STRIPDEMID"),
-          col("GSD"), graft.parse.Versions.s2sReleaseCol(col("s2s_ver")).as("RELEASEVER"))),
+    // --- P11 + U5: FULL release-fields conversion (rename map overwrites
+    // ACQDATE1/2 with the average acq times; drop list is the computed
+    // schema set-difference — ReleaseFields scaladoc)
+    "q_release_fields" -> ((s, dir) => {
+      val k = expr("CAST(substring(dem_id, 3) AS BIGINT)")
+      val rec = Ladder.strips(s, dir).select(
+        col("dem_id").as("DEM_ID"), col("stripdemid").as("STRIPDEMID"),
+        col("pairname").as("PAIRNAME"), col("geocell").as("GEOCELL"),
+        col("s2s_ver").as("S2S_VER"),
+        when(k % 2 === 0, 2.0).otherwise(8.0).as("DEM_RES"),
+        concat(lit("SETSM 4."), (k % 13).cast("string")).as("ALGM_VER"),
+        concat(lit("2023-01-"), lpad((lit(1) + k % 28).cast("string"), 2, "0")).as("ACQDATE1"),
+        concat(lit("2023-02-"), lpad((lit(1) + k % 28).cast("string"), 2, "0")).as("ACQDATE2"),
+        concat(lit("2024-"), lpad((lit(1) + k % 12).cast("string"), 2, "0"),
+          lit("-15T10:00:00")).as("AVGACQTM1"),
+        concat(lit("2024-"), lpad((lit(1) + k % 12).cast("string"), 2, "0"),
+          lit("-16T11:00:00")).as("AVGACQTM2"),
+        ((k % 180) - 90 + 0.5).as("CENT_LAT"),
+        ((k % 360) - 180 + 0.5).as("CENT_LON"),
+        concat(lit("/loc"), (k % 3).cast("string")).as("LOCATION"),
+        concat(lit("2024-01-"), lpad((lit(1) + k % 28).cast("string"), 2, "0")).as("INDEX_DATE"),
+        (k % 100 / 8.0).as("FILESZ_DEM"),
+        (k % 9 / 4.0).as("RMSE"))
+      graft.ops.ReleaseFields.toRelease(rec)
+    }),
+
+    // --- P9: the full custom-path template family (BP/PGC≡BW/CSS × scene/strip)
+    "q_custom_paths" -> ((s, dir) => {
+      import graft.jobs.IndexJob.CustomPaths
+      val o = s.read.parquet(s"$dir/orders.parquet")
+      val k = col("o_orderkey")
+      val pairname = concat(lit("WV0"), (lit(1) + k % 3).cast("string"), lit("_"),
+        (lit(2015) + k % 9).cast("string"), lpad((lit(1) + k % 12).cast("string"), 2, "0"),
+        lit("15_"), lpad(k.cast("string"), 16, "0"), lit("_"),
+        lpad((k + 1).cast("string"), 16, "0"))
+      val resStr = when(k % 2 === 0, "2m").otherwise("50cm")
+      val resDir = when(k % 7 === 0, concat(resStr, lit("_dsp"))).otherwise(resStr)
+      val groupId = concat(lit("G"), k.cast("string"))
+      val srcfn = concat(groupId, lit("_meta.txt"))
+      val region = when(k % 3 === 0, "arcticdem_01_iceland")
+        .when(k % 3 === 1, "rema_02_ross").otherwise("earthdem_03_utah")
+      val bpRegion = when(k % 3 === 0, "arceas-05")
+        .when(k % 3 === 1, "anteas-02").otherwise("nplnam-07")
+      val releaseVer = concat(lit("s2s04"), (lit(1) + k % 2).cast("string"))
+      val s2sVersion = concat(lit("4."), (lit(1) + k % 2).cast("string"))
+      val pfx = lit("/pfx")
+      o.select(k.as("okey"),
+        CustomPaths.bp("scene", pfx, pairname, resStr, resDir, groupId, bpRegion).as("bp_scene"),
+        CustomPaths.pgc("scene", pfx, region, resDir, groupId, srcfn, releaseVer).as("pgc_scene"),
+        CustomPaths.css("scene", pfx, pairname, resDir, groupId, srcfn, s2sVersion).as("css_scene"),
+        CustomPaths.bp("strip", pfx, pairname, resStr, resDir, groupId, bpRegion).as("bp_strip"),
+        CustomPaths.pgc("strip", pfx, region, resDir, groupId, srcfn, releaseVer).as("pgc_strip"),
+        CustomPaths.css("strip", pfx, pairname, resDir, groupId, srcfn, s2sVersion).as("css_strip"))
+    }),
+
+    // --- S6 parser differential: strip meta render → parse → extract (header
+    // title version, key: value header, alignment row, scene blocks incl. the
+    // scene_name splitext and Output Projection special cases)
+    "q_strip_meta_parse" -> ((s, dir) => {
+      val o = s.read.parquet(s"$dir/orders.parquet")
+      val k = col("o_orderkey")
+      val meta = concat(
+        lit("Strip Metadata (v2."), (k % 5).cast("string"), lit(")\n"),
+        lit("Creation Date: 2024-02-"), lpad((lit(1) + k % 28).cast("string"), 2, "0"), lit("\n"),
+        lit("SC"), k.cast("string"), lit("_s1.tif 0."), (k % 10).cast("string"), lit(" 0.1 -0.2\n"),
+        lit("Scene Metadata\n"),
+        lit("scene 1=SC"), k.cast("string"), lit("_s1.tif\n"),
+        lit("Image 1=img_"), k.cast("string"), lit(".tif\n"),
+        lit("Output Projection='+proj=longlat +a="), (k % 100).cast("string"), lit(" +b=2'\n"),
+        lit("scene 2=SC"), k.cast("string"), lit("_s2.tif\n"),
+        lit("Image 1=img2_"), k.cast("string"), lit(".tif"))
+      val h = graft.parse.MetaParsers.stripMetaHeaderUdf(meta)
+      val sc = graft.parse.MetaParsers.stripMetaScenesUdf(meta)
+      val al = graft.parse.MetaParsers.stripMetaAlignUdf(meta)
+      o.select(k.as("okey"),
+        try_element_at(h, lit("s2s_version")).as("s2s_ver"),
+        try_element_at(h, lit("Creation Date")).as("cr_date"),
+        try_element_at(try_element_at(al,
+          concat(lit("SC"), k.cast("string"), lit("_s1"))), lit(1)).as("align_dz"),
+        try_element_at(try_element_at(sc, lit(1)), lit("scene_name")).as("scene1_name"),
+        try_element_at(try_element_at(sc, lit(1)), lit("Image 1")).as("scene1_img"),
+        try_element_at(try_element_at(sc, lit(1)), lit("Output Projection")).as("scene1_proj"),
+        try_element_at(try_element_at(sc, lit(2)), lit("scene_name")).as("scene2_name"))
+    }),
 
     // --- A8: DISTINCT projection
     "q_distinct_strips" -> ((s, dir) =>
@@ -938,6 +1021,16 @@ object SparkEntry {
       withCtes(s"SELECT vec_id, CAST($lshTermsSql AS BIGINT) AS bucket FROM emn", embCte)
     },
 
+    "q_lsh_pairs" -> withCtes(
+      s"""SELECT p.vec_id AS id_a, q.vec_id AS id_b,
+         |       CAST(${dotSql("p.em", "q.em")} AS DOUBLE) /
+         |       sqrt(CAST(p.n2 * q.n2 AS DOUBLE)) AS cos_sim
+         |FROM b p JOIN b q ON p.bucket = q.bucket AND p.vec_id < q.vec_id
+         |WHERE CAST(${dotSql("p.em", "q.em")} AS DOUBLE) /
+         |      sqrt(CAST(p.n2 * q.n2 AS DOUBLE)) >= 0.2""".stripMargin,
+      embCte,
+      s"b AS (SELECT vec_id, em, n2, CAST($lshTermsSql AS BIGINT) AS bucket FROM emn)"),
+
     "q_lsh_topk" -> withCtes(
       s"""SELECT query_id, neighbor_id, cos_sim, rn FROM (
          |  SELECT query_id, neighbor_id, cos_sim,
@@ -1096,11 +1189,70 @@ object SparkEntry {
         |  SELECT scenedemid, stripdemid, is_dsp, 'orig' AS rec_mode FROM scenes
         |) WHERE rec_mode = 'dsp' OR is_dsp""".stripMargin, Ladder.scenesCte),
 
+    // survivors of the rename (GSD←DEM_RES, SETSM_VER←ALGM_VER, ACQDATE1/2←
+    // AVGACQTM1/2 overwrite) + U5 set-difference drop
     "q_release_fields" -> withCtes(
-      """SELECT dem_id AS "DEM_ID", stripdemid AS "STRIPDEMID", 2.0 AS "GSD",
-        |       's2s' || lpad(string_split(s2s_ver, '.')[1], 2, '0') ||
-        |                coalesce(string_split(s2s_ver, '.')[2], '0') AS "RELEASEVER"
-        |FROM strips""".stripMargin, Ladder.stripsCte),
+      """SELECT dem_id AS "DEM_ID", stripdemid AS "STRIPDEMID",
+        |       pairname AS "PAIRNAME", geocell AS "GEOCELL", s2s_ver AS "S2S_VER",
+        |       '2024-' || lpad(CAST(1 + k % 12 AS VARCHAR), 2, '0') || '-15T10:00:00' AS "ACQDATE1",
+        |       '2024-' || lpad(CAST(1 + k % 12 AS VARCHAR), 2, '0') || '-16T11:00:00' AS "ACQDATE2",
+        |       k % 9 / 4.0 AS "RMSE",
+        |       CASE WHEN k % 2 = 0 THEN 2.0 ELSE 8.0 END AS "GSD",
+        |       'SETSM 4.' || CAST(k % 13 AS VARCHAR) AS "SETSM_VER"
+        |FROM (SELECT *, CAST(substring(dem_id, 3) AS BIGINT) AS k FROM strips)""".stripMargin,
+      Ladder.stripsCte),
+
+    "q_custom_paths" -> withCtes(
+      """SELECT okey,
+        |  concat_ws('/', '/pfx', 'dem-scenes-' || res_str || '-' || string_split(bp_region, '-')[1],
+        |            res_dir, substr(pairname, 1, 4), substr(pairname, 6, 4),
+        |            substr(pairname, 10, 2), group_id || '.tar') AS bp_scene,
+        |  concat_ws('/', '/pfx', pretty, 'region', region, 'scenes',
+        |            res_dir, group_id, srcfn) AS pgc_scene,
+        |  concat_ws('/', '/pfx', 'scene', res_dir, substr(pairname, 1, 4),
+        |            substr(pairname, 6, 4), substr(pairname, 10, 2), group_id, srcfn) AS css_scene,
+        |  concat_ws('/', '/pfx', 'dem-strips-' || substr(bp_region, 1, 3),
+        |            res_dir, substr(pairname, 1, 4), substr(pairname, 6, 4),
+        |            substr(pairname, 10, 2), group_id || '.tar') AS bp_strip,
+        |  concat_ws('/', '/pfx', pretty, 'region', region, release_ver,
+        |            res_dir, group_id, srcfn) AS pgc_strip,
+        |  concat_ws('/', '/pfx', 'strip', 'strips_v' || s2s_version, res_dir,
+        |            substr(pairname, 1, 4), substr(pairname, 6, 4),
+        |            substr(pairname, 10, 2), group_id, srcfn) AS css_strip
+        |FROM cp""".stripMargin,
+      """cp AS (
+        |  SELECT o_orderkey AS okey,
+        |    'WV0' || CAST(1 + o_orderkey % 3 AS VARCHAR) || '_' ||
+        |    CAST(2015 + o_orderkey % 9 AS VARCHAR) ||
+        |    lpad(CAST(1 + o_orderkey % 12 AS VARCHAR), 2, '0') || '15_' ||
+        |    lpad(CAST(o_orderkey AS VARCHAR), 16, '0') || '_' ||
+        |    lpad(CAST(o_orderkey + 1 AS VARCHAR), 16, '0') AS pairname,
+        |    CASE WHEN o_orderkey % 2 = 0 THEN '2m' ELSE '50cm' END ||
+        |    CASE WHEN o_orderkey % 7 = 0 THEN '_dsp' ELSE '' END AS res_dir,
+        |    CASE WHEN o_orderkey % 2 = 0 THEN '2m' ELSE '50cm' END AS res_str,
+        |    'G' || CAST(o_orderkey AS VARCHAR) AS group_id,
+        |    'G' || CAST(o_orderkey AS VARCHAR) || '_meta.txt' AS srcfn,
+        |    CASE CAST(o_orderkey % 3 AS INT)
+        |      WHEN 0 THEN 'arcticdem_01_iceland'
+        |      WHEN 1 THEN 'rema_02_ross' ELSE 'earthdem_03_utah' END AS region,
+        |    CASE CAST(o_orderkey % 3 AS INT)
+        |      WHEN 0 THEN 'ArcticDEM' WHEN 1 THEN 'REMA' ELSE 'EarthDEM' END AS pretty,
+        |    CASE CAST(o_orderkey % 3 AS INT)
+        |      WHEN 0 THEN 'arceas-05' WHEN 1 THEN 'anteas-02' ELSE 'nplnam-07' END AS bp_region,
+        |    's2s04' || CAST(1 + o_orderkey % 2 AS VARCHAR) AS release_ver,
+        |    '4.' || CAST(1 + o_orderkey % 2 AS VARCHAR) AS s2s_version
+        |  FROM orders)""".stripMargin),
+
+    "q_strip_meta_parse" ->
+      """SELECT o_orderkey AS okey,
+        |  '2.' || CAST(o_orderkey % 5 AS VARCHAR) AS s2s_ver,
+        |  '2024-02-' || lpad(CAST(1 + o_orderkey % 28 AS VARCHAR), 2, '0') AS cr_date,
+        |  '0.' || CAST(o_orderkey % 10 AS VARCHAR) AS align_dz,
+        |  'SC' || CAST(o_orderkey AS VARCHAR) || '_s1' AS scene1_name,
+        |  'img_' || CAST(o_orderkey AS VARCHAR) || '.tif' AS scene1_img,
+        |  '''+proj=longlat +a=' || CAST(o_orderkey % 100 AS VARCHAR) || ' +b=2''' AS scene1_proj,
+        |  'SC' || CAST(o_orderkey AS VARCHAR) || '_s2' AS scene2_name
+        |FROM orders""".stripMargin,
 
     "q_distinct_strips" -> withCtes(
       "SELECT DISTINCT stripdemid, is_dsp FROM scenes", Ladder.scenesCte),

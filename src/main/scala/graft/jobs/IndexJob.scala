@@ -27,14 +27,74 @@ object IndexJob {
     statusArg.map(lit).getOrElse(
       when(location.startsWith("/mnt/pgc/tape"), "tape").otherwise("online"))
 
-  /** P9 — custom-path projection (index_setsm.py:715-781): BP/PGC location
-    * templates from id substrings (sensor = chars 1-4, year = 6-9,
-    * month = 10-11 of the pairname-like key).
+  /** P9 (flagship default) — sensor/year/month path from id substrings
+    * (sensor = chars 1-4, year = 6-9, month = 10-11 of the pairname-like
+    * key). The full reference template family is [[CustomPaths]].
     */
   def customPathCol(pairname: Column): Column =
     concat_ws("/", lit(""), lit("pgc"),
       substring(pairname, 1, 4), substring(pairname, 6, 4), substring(pairname, 10, 2),
       pairname)
+
+  /** P9 — the FULL custom-path template family of the reference
+    * (/root/reference/index_setsm.py:715-781 scene mode, 851-920 strip mode):
+    * BP (BlackPearl tape buckets), PGC/BW (filesystem tree), CSS. Pure column
+    * expressions; `mode` is a plan-time constant like the reference's CLI
+    * arg. sensor/year/month are pairname substrings ([:4], [5:9], [9:11]).
+    */
+  object CustomPaths {
+
+    /** utils.PROJECTS pretty-name map (lib/utils.py:155-159). */
+    def prettyProject(region: Column): Column = {
+      val key = split(region, "_").getItem(0)
+      when(key === "arcticdem", "ArcticDEM")
+        .when(key === "rema", "REMA")
+        .when(key === "earthdem", "EarthDEM")
+    }
+
+    private def sensor(p: Column) = substring(p, 1, 4)
+    private def year(p: Column) = substring(p, 6, 4)
+    private def month(p: Column) = substring(p, 10, 2)
+
+    /** BP: scene bucket = `dem-{mode}s-{resStr}-{bpRegion.split('-')[0]}`
+      * (index_setsm.py:730-739); strip bucket = `dem-strips-{bpRegion[0:3]}`
+      * (index_setsm.py:855-877). Path: bucket/resDir/sensor/year/month/
+      * groupid.tar.
+      */
+    def bp(mode: String, prefix: Column, pairname: Column, resStr: Column,
+           resDir: Column, groupId: Column, bpRegion: Column): Column = {
+      val bucket =
+        if (mode == "strip") concat(lit("dem-strips-"), substring(bpRegion, 1, 3))
+        else concat(lit(s"dem-${mode}s-"), resStr, lit("-"),
+          split(bpRegion, "-").getItem(0))
+      concat_ws("/", prefix, bucket, resDir, sensor(pairname), year(pairname),
+        month(pairname), concat(groupId, lit(".tar")))
+    }
+
+    /** PGC / BW: prefix/PrettyProject/region/<region>/{scenes|<releaseVer>}/
+      * resDir/groupid/srcfn (index_setsm.py:741-765 scene, 879-901 strip —
+      * strips swap the literal 'scenes' for the release-version directory).
+      */
+    def pgc(mode: String, prefix: Column, region: Column, resDir: Column,
+            groupId: Column, srcfn: Column, releaseVer: Column): Column = {
+      val verDir = if (mode == "strip") releaseVer else lit("scenes")
+      concat_ws("/", prefix, prettyProject(region), lit("region"), region,
+        verDir, resDir, groupId, srcfn)
+    }
+
+    /** CSS: prefix/mode/[strips_v<s2s>/]resDir/sensor/year/month/groupid/
+      * srcfn (index_setsm.py:767-777 scene, 903-917 strip).
+      */
+    def css(mode: String, prefix: Column, pairname: Column, resDir: Column,
+            groupId: Column, srcfn: Column, s2sVersion: Column): Column = {
+      val tail = Seq(resDir, sensor(pairname), year(pairname), month(pairname),
+        groupId, srcfn)
+      val parts =
+        if (mode == "strip") Seq(prefix, lit(mode), concat(lit("strips_v"), s2sVersion)) ++ tail
+        else Seq(prefix, lit(mode)) ++ tail
+      concat_ws("/", parts: _*)
+    }
+  }
 
   /** P13 — record-id projection (index_setsm.py:56-63): pipe-joined identity
     * used for dedup + the --check verification.

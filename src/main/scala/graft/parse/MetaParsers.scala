@@ -29,41 +29,65 @@ object MetaParsers {
       }
     }.toMap
 
-  /** S6 — strip `*_meta.txt` parser (/root/reference/lib/dem.py:1476-1548):
-    * header `key: value` section, then per-scene blocks started by
-    * `scene N name=...` lines containing `key=value` pairs; returns
-    * (header map, per-scene list of maps). The s2s version line
-    * (`Strip projection (proj4): ...` etc. stay plain header entries; the
-    * `s2s version` regex of the reference maps to the 'Strip Metadata'
-    * header block here).
+  /** Parsed strip meta: header fields (incl. `s2s_version` from the
+    * `Strip Metadata (vX.X)` title line), per-scene key=value blocks, and
+    * the per-scene alignment stats rows — the three outputs of the
+    * reference's `_parse_metadata_file` (metad / scene_list / alignment_dct).
     */
-  def parseStripMeta(text: String): (Map[String, String], Seq[Map[String, String]]) = {
+  case class StripMeta(header: Map[String, String],
+                       scenes: Seq[Map[String, String]],
+                       alignment: Map[String, Seq[String]])
+
+  /** S6 — strip `*_meta.txt` parser (/root/reference/lib/dem.py:1476-1548),
+    * branch for branch: header section until the literal `Scene Metadata`
+    * line — `key: value` pairs, `<scene>.tif <stats...>` alignment rows, and
+    * the s2s version title (error when a 'Strip Metadata' line defeats the
+    * version regex, dem.py:1516-1520); then scene blocks opened by
+    * `scene N=<name>.tif` (stored extension-stripped as `scene_name`),
+    * `Output Projection=` keeping the whole remainder, other `key=value`
+    * pairs verbatim.
+    */
+  def parseStripMeta(text: String): StripMeta = {
     val header = scala.collection.mutable.Map[String, String]()
     val scenes = scala.collection.mutable.ArrayBuffer[scala.collection.mutable.Map[String, String]]()
-    var inScenes = false
+    val alignment = scala.collection.mutable.Map[String, Seq[String]]()
+    var inHeader = true
+    def stripExt(s: String): String = {
+      val i = s.lastIndexOf('.'); if (i > 0) s.substring(0, i) else s
+    }
     text.linesIterator.foreach { raw =>
-      val line = raw.trim
-      val ci = line.indexOf(':')
-      val ei = line.indexOf('=')
-      if (line.toLowerCase.startsWith("scene ") && line.contains("=")) {
-        inScenes = true
-        scenes += scala.collection.mutable.Map("scene_line" -> line)
-      } else if (!inScenes && ci > 0 && (ei < 0 || ci < ei)) {
-        // header `key: value` — the value may itself contain '=' (proj4)
-        val k = line.substring(0, ci).trim
-        val v = line.substring(ci + 1).trim
-        if (k.nonEmpty) header(k) = v
-      } else if (line.contains("=")) {
-        val i = line.indexOf('=')
-        val k = line.substring(0, i).trim
-        val v = line.substring(i + 1).trim
-        if (k.nonEmpty) {
-          if (inScenes && scenes.nonEmpty) scenes.last(k) = v
-          else header(k) = v
+      val l = raw.trim
+      if (l.nonEmpty) {
+        if (l == "Scene Metadata") inHeader = false
+        else if (!inHeader && l.startsWith("scene ")) scenes += scala.collection.mutable.Map()
+        if (inHeader) {
+          if (l.contains(": ")) {
+            val i = l.indexOf(": ")
+            val k = l.substring(0, i).trim
+            if (k.nonEmpty) header(k) = l.substring(i + 2).trim
+          } else if (l.contains(".tif ")) {
+            val stats = l.split("\\s+")
+            alignment(stripExt(stats(0))) = stats.toSeq.tail
+          } else if (l.contains("Strip Metadata")) {
+            Patterns.s2sVersion.findPrefixMatchOf(l) match {
+              case Some(m) if m.group("s2sversion") != null =>
+                header("s2s_version") = m.group("s2sversion")
+              case Some(_) => // versionless title: reference stores None
+              case None => throw new IllegalArgumentException(
+                s"Cannot parse s2s version from strip metadata line '$l'")
+            }
+          }
+        } else if (l.contains("=") && scenes.nonEmpty) {
+          val i = l.indexOf('=')
+          val k = l.substring(0, i).trim
+          val v = l.substring(i + 1).trim
+          if (k == "Output Projection") scenes.last(k) = v
+          else if (k.startsWith("scene ")) scenes.last("scene_name") = stripExt(v)
+          else if (k.nonEmpty) scenes.last(k) = v
         }
       }
     }
-    (header.toMap, scenes.map(_.toMap).toSeq)
+    StripMeta(header.toMap, scenes.map(_.toMap).toSeq, alignment.toMap)
   }
 
   /** S8 — mdf IMD parser (/root/reference/lib/dem.py:1451-1474):
@@ -112,8 +136,9 @@ object MetaParsers {
   val sceneMetaUdf = udf(parseSceneMeta _)
   val mdfUdf = udf(parseMdf _)
   val regUdf = udf(parseReg _)
-  val stripMetaHeaderUdf = udf((s: String) => parseStripMeta(s)._1)
-  val stripMetaScenesUdf = udf((s: String) => parseStripMeta(s)._2)
+  val stripMetaHeaderUdf = udf((s: String) => parseStripMeta(s).header)
+  val stripMetaScenesUdf = udf((s: String) => parseStripMeta(s).scenes)
+  val stripMetaAlignUdf = udf((s: String) => parseStripMeta(s).alignment)
 
   /** P1 — the reference's filename grammars (lib/dem.py:57-124), reproduced
     * group-for-group (case-insensitive, anchored at the end like `\Z`).

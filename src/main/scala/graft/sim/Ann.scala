@@ -73,6 +73,26 @@ object Ann {
       .filter(col("cos_sim") >= threshold)
   }
 
+  /** Embedding near-dup pairs at scale: equi-join within LSH buckets (the
+    * embedding analog of TextOps.minhashPairs — the scale path [[cosinePairs]]
+    * is the brute oracle twin of). Each vector has exactly one bucket id, so
+    * the join never re-emits a pair and needs no distinct; at 100 TB this is
+    * one shuffle on a 12-bit-salted long key, never all-pairs. Recall < 1 by
+    * design: pairs whose signatures differ in any plane are missed (the
+    * standard LSH trade — more planes ⇒ higher precision, lower recall).
+    */
+  def lshPairs(vecs: DataFrame, threshold: Double): DataFrame = {
+    val all = lshBuckets(vecs)
+    val a = all.select(col("bucket"), col("vec_id").as("id_a"),
+      col("em").as("em_a"), col("n2").as("n2_a"))
+    val b = all.select(col("bucket"), col("vec_id").as("id_b"),
+      col("em").as("em_b"), col("n2").as("n2_b"))
+    a.join(b, Seq("bucket")).filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        cosine(doti(col("em_a"), col("em_b")), col("n2_a"), col("n2_b")).as("cos_sim"))
+      .filter(col("cos_sim") >= threshold)
+  }
+
   /** Deterministic hyperplane component p,d ∈ [-1000, 1000]:
     * `h32('plane-' || p || '-' || d) % 2001 - 1000`, evaluated eagerly on
     * the driver (same md5 math the oracle SQL uses) so the bucket expression

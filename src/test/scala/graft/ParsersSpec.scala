@@ -18,24 +18,42 @@ class ParsersSpec extends AnyFunSuite {
     assert(m.size === 3)
   }
 
-  test("strip meta parser: header + per-scene blocks (S6)") {
+  test("strip meta parser: header + alignment rows + per-scene blocks (S6)") {
     val txt =
       """Strip Metadata (v4.1)
         |Strip projection (proj4): '+proj=stere'
         |Strip Footprint Vertices
         |X: 1 2 3
         |Y: 4 5 6
-        |scene 1 name=SC1
+        |
+        |SC1_scene.tif 0.05 -0.01 0.02
+        |SC2_scene.tif 0.10 0.03 -0.04
+        |
+        |Scene Metadata
+        |
+        |scene 1=SC1.tif
         |Image_1_Sun_Elevation=35.2
-        |scene 2 name=SC2
+        |Output Projection='+proj=stere +k=1'
+        |scene 2=SC2.tif
         |Image_1_Sun_Elevation=40.0
         |""".stripMargin
-    val (header, scenes) = MetaParsers.parseStripMeta(txt)
-    assert(header("Strip projection (proj4)") === "'+proj=stere'")
-    assert(header("X") === "1 2 3")
-    assert(scenes.size === 2)
-    assert(scenes(0)("Image_1_Sun_Elevation") === "35.2")
-    assert(scenes(1)("scene_line").contains("SC2"))
+    val m = MetaParsers.parseStripMeta(txt)
+    assert(m.header("s2s_version") === "4.1")
+    assert(m.header("Strip projection (proj4)") === "'+proj=stere'")
+    assert(m.header("X") === "1 2 3")
+    assert(m.alignment("SC1_scene") === Seq("0.05", "-0.01", "0.02"))
+    assert(m.alignment("SC2_scene") === Seq("0.10", "0.03", "-0.04"))
+    assert(m.scenes.size === 2)
+    assert(m.scenes(0)("scene_name") === "SC1")
+    assert(m.scenes(0)("Image_1_Sun_Elevation") === "35.2")
+    assert(m.scenes(0)("Output Projection") === "'+proj=stere +k=1'")
+    assert(m.scenes(1)("scene_name") === "SC2")
+    // a 'Strip Metadata' line that defeats the anchored version regex raises
+    // (dem.py:1516-1520); a versionless title is fine (group = None)
+    intercept[IllegalArgumentException] {
+      MetaParsers.parseStripMeta("old Strip Metadata\n")
+    }
+    assert(!MetaParsers.parseStripMeta("Strip Metadata\n").header.contains("s2s_version"))
   }
 
   test("mdf parser: BEGIN_GROUP/END_GROUP nesting to underscore paths (S8)") {
