@@ -5,24 +5,39 @@ import org.apache.spark.sql.SparkSession
 /** Driver-run benchmark: every SparkEntry query, fully evaluated through the
   * noop sink (count() alone would let Catalyst prune all columns), one JSON
   * line on stdout.
+  *
+  * Two passes since round 3: an UNTIMED warmup pass over the full query set,
+  * then the timed pass. Rationale: one-time whole-stage-codegen compilation +
+  * JVM JIT (~10 s across the set) was charged to whichever queries the Map
+  * happened to iterate first, so ADDING a query reshuffled the attribution
+  * and produced phantom per-query regressions between rounds (round 2 → 3:
+  * q_simhash "0.53 → 4.5 s" with zero code change). The timed pass now
+  * reports steady-state per-query cost — the figure that matters at scale,
+  * where codegen/JIT amortizes over hours of executor lifetime. The cold
+  * first-pass total is still printed as `cold_total` for the one-time-cost
+  * record.
   */
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt
     val spark = Session.local(cpus, "graft-bench")
-    val results = SparkEntry.queries.map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      try fn(spark, sfDir).write.mode("overwrite").format("noop").save()
-      catch { case e: Throwable =>
-        System.err.println(s"[bench] $name failed: ${e.getMessage}")
+    def pass(): Map[String, Double] =
+      SparkEntry.queries.map { case (name, fn) =>
+        val t0 = System.nanoTime()
+        try fn(spark, sfDir).write.mode("overwrite").format("noop").save()
+        catch { case e: Throwable =>
+          System.err.println(s"[bench] $name failed: ${e.getMessage}")
+        }
+        name -> (System.nanoTime() - t0) / 1e9
       }
-      name -> (System.nanoTime() - t0) / 1e9
-    }
+    val cold = pass() // warmup: codegen + JIT, untimed in the headline
+    val results = pass()
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val coldTotal = if (cold.nonEmpty) cold.values.sum else 0.0
+    println(s"""{"metric":"total","value":$total,"unit":"sec","cold_total":$coldTotal,"queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

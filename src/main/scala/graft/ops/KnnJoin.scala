@@ -41,36 +41,68 @@ object KnnJoin {
     ((lo + 1) to hi).flatMap(Cells.ringK(cell, _)).distinct.toArray)
 
   /** Density-driven cell-level selection. The ring search is level-sensitive
-    * under skew: too coarse and the hot cluster's home cell makes round 1
-    * quadratic in the cluster (measured at 600k points with the 20%-hot-cell
-    * fixture: level 10 = 483 s, level 12 = 108 s, level 14 regresses — the
-    * sparse tail then needs many escalation rounds). Heuristic: over a
-    * sample, pick the smallest candidate level whose MAX occupied-cell count
-    * (scaled back up by the sample fraction) is at or under
-    * `targetMaxPerCell` — the densest single cell is what goes quadratic, and
-    * a 1-2-cell hotspot is invisible to percentile stats over thousands of
-    * cells. Coarser levels keep sparse queries converging in few rounds.
+    * in BOTH directions:
+    *   - too coarse and the hot cluster's home cell makes round 1 quadratic
+    *     in the cluster (round-1 pairs for a cell ≈ 9·occ², measured at 600k
+    *     points with the 20%-hot-cell fixture: level 10 = 483 s, level 12 =
+    *     108 s — level-12 max occupancy is ~900, level-10 is ~15 000);
+    *   - too fine and the ring-1 disk radius (one cell height) drops below
+    *     the typical k-NN radius, so most queries fail the round-1
+    *     termination bound and every extra escalation round pays a fixed
+    *     window + checkpoint cost (measured at 5 000 worldwide docs:
+    *     level 4 = 4-5 s, level 6 = 19 s, level 8 = 21-27 s).
+    * Two-sided heuristic over one sample:
+    *   1. ELIGIBLE = levels whose MAX occupied-cell count (scaled back up by
+    *      the sample fraction) ≤ `targetMaxPerCell` — kills the quadratic
+    *      blowup. The max, not a percentile: a 1-2-cell hotspot is invisible
+    *      to percentile stats over thousands of cells. Duplicated/co-located
+    *      points count here deliberately (they create occ² pairs all the
+    *      same). Cap 1024 keeps the hot-cell term at ≈ 9·1024² ≈ 9M pairs —
+    *      trivial for the codegen equi-join.
+    *   2. Among eligible, pick the FINEST level whose cell height still
+    *      covers the typical k-NN radius — finer shrinks the window-sorted
+    *      round-1 pair volume, but once cellH < r_k most queries fail the
+    *      round-1 termination bound and every escalation round pays its
+    *      fixed cost. r_k is the uniform-density estimate
+    *      sqrt(k·bboxArea/(π·N)) over the DEDUPLICATED sample (co-located
+    *      duplicates satisfy their own kNN at distance 0 and must not count
+    *      toward the spread points' density). None covers r_k ⇒ coarsest
+    *      eligible (the skewed case: eligibility forces fine levels and
+    *      extra rounds are the cheaper evil). No eligible level ⇒ finest
+    *      candidate.
     * Driver-side decision from one cheap aggregation per candidate level
     * (same pattern as SkewJoin.hotKeys; at 100 TB use table statistics).
     */
   def pickLevel(points: DataFrame, lonmCol: String = "lonm", latmCol: String = "latm",
-                targetMaxPerCell: Int = 256, sampleFraction: Double = 0.05,
-                candidates: Seq[Int] = Seq(6, 8, 10, 12, 14)): Int = {
+                k: Int = 5, targetMaxPerCell: Int = 1024,
+                sampleFraction: Double = 0.05,
+                candidates: Seq[Int] = Seq(2, 4, 6, 8, 10, 12, 14)): Int = {
     val s = points.sample(sampleFraction)
       .select(col(lonmCol).as("lonm"), col(latmCol).as("latm"))
       .localCheckpoint()
-    val chosen = candidates.find { level =>
+    val maxOccs = candidates.map { level =>
       val row = s
         .select(org.apache.spark.sql.graft.CellExpressions
           .cell_at(col("lonm") / 1000.0, col("latm") / 1000.0, level).as("c"))
         .groupBy("c").count()
         .agg(max("count")).head()
       // an empty sample (tiny input × small fraction) aggregates to NULL:
-      // nothing measured ⇒ any level satisfies the bound, pick the coarsest
-      val maxPerCell = if (row.isNullAt(0)) 0L else row.getLong(0)
-      maxPerCell / sampleFraction <= targetMaxPerCell
+      // nothing measured ⇒ every level is eligible, r_k is unknowable ⇒
+      // the coarsest candidate wins below
+      level -> (if (row.isNullAt(0)) 0.0 else row.getLong(0) / sampleFraction)
     }
-    chosen.getOrElse(candidates.last)
+    val eligible = maxOccs.filter(_._2 <= targetMaxPerCell).map(_._1)
+    if (eligible.isEmpty) return candidates.last
+    // typical k-NN radius from deduplicated sample density over its bbox
+    val d = s.distinct().agg(count(lit(1)),
+      (max(col("lonm")) - min(col("lonm"))).cast("double"),
+      (max(col("latm")) - min(col("latm"))).cast("double")).head()
+    val nDedup = d.getLong(0) / sampleFraction
+    if (d.getLong(0) < 2) return eligible.head
+    val areaDeg = math.max(1e-9, d.getDouble(1) / 1000.0 * d.getDouble(2) / 1000.0)
+    val rk = math.sqrt(k * areaDeg / (math.Pi * nDedup))
+    eligible.filter(level => 180.0 / (1L << level) >= rk).lastOption
+      .getOrElse(eligible.head)
   }
 
   /** [[knn]] with a density-auto-picked level ([[pickLevel]]); `levelOverride`
@@ -85,7 +117,7 @@ object KnnJoin {
               maxRounds: Int = 3, bruteThreshold: Long = 50000000L): DataFrame = {
     val level = levelOverride
       .orElse(sys.env.get("GRAFT_KNN_LEVEL").map(_.toInt))
-      .getOrElse(pickLevel(points))
+      .getOrElse(pickLevel(points, k = k))
     knn(spark, queries, points, qId, pId, k, level, maxRounds, bruteThreshold)
   }
 

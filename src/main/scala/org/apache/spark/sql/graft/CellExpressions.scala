@@ -99,9 +99,28 @@ object GraftKernels {
       * times into Filter conditions, where codegen performs no
       * subexpression elimination (measured 6× the whole query's cost on a
       * salted join). A kernel call keeps every copy cheap.
+      *
+      * Digits are written directly into a 7-byte buffer — the scalar
+      * `f"%02d"` path goes through java.util.Formatter and measured ~1.7×
+      * slower than even the column tree in a plain aggregation key
+      * (BENCH.md round-3 geocell A/B). Falls back to the formatter for
+      * out-of-range coordinates (pad-never-truncate semantics there).
       */
-    def geocell(lon: Double, lat: Double): org.apache.spark.unsafe.types.UTF8String =
-      org.apache.spark.unsafe.types.UTF8String.fromString(Cells.geocell(lon, lat))
+    def geocell(lon: Double, lat: Double): org.apache.spark.unsafe.types.UTF8String = {
+      val latN = math.abs(math.floor(lat)).toInt
+      val lonN = math.abs(math.floor(lon)).toInt
+      if (latN > 99 || lonN > 999) // {:02d}/{:03d} only pad, never truncate
+        return org.apache.spark.unsafe.types.UTF8String.fromString(Cells.geocell(lon, lat))
+      val b = new Array[Byte](7)
+      b(0) = if (lat >= 0) 'n' else 's'
+      b(1) = ('0' + latN / 10).toByte
+      b(2) = ('0' + latN % 10).toByte
+      b(3) = if (lon >= 0) 'e' else 'w'
+      b(4) = ('0' + lonN / 100).toByte
+      b(5) = ('0' + lonN / 10 % 10).toByte
+      b(6) = ('0' + lonN % 10).toByte
+      org.apache.spark.unsafe.types.UTF8String.fromBytes(b)
+    }
 
     /** Exact dot product of two equal-length long arrays (integer-quantized
       * embeddings) — allocation-free. */

@@ -178,7 +178,7 @@ class OpsSpec extends SparkSpec {
     // sample fraction so small the sample is (almost surely) empty — must not
     // NPE on the NULL max aggregate, must return the first candidate
     val level = KnnJoin.pickLevel(tiny, sampleFraction = 1e-9)
-    assert(level === 6)
+    assert(level === 2)
   }
 
   test("knnAuto picks the level itself and stays exact (entry-point wiring)") {
