@@ -29,9 +29,15 @@ object Main {
           val pts = Pages.fromDocuments(spark, sfDir)
           val tiles = Pages.tiles(spark).withColumn("ring",
             PipJoin.rectRing(col("x0"), col("y0"), col("x1"), col("y1")))
-          val shelved = PipJoin.shelve(pts, tiles, "doc_id", "lon", "lat", "tile_name", "ring")
+          // J2 skip metrics surfaced in the job result (the reference warns
+          // and counts 0-match / multi-match skips, lib/utils.py:694-702)
+          val obs = org.apache.spark.sql.Observation("shelve_job_metrics")
+          val shelved = PipJoin.shelve(pts, tiles, "doc_id", "lon", "lat",
+            "tile_name", "ring", observer = Some(obs))
           val snap = Icelite.commit(spark, shelved, s"$outRoot/shelved", s"shelve:$sfDir")
-          println(s"""{"job":"shelve","rows":${snap.rowCount}}""")
+          val m = obs.get
+          println(s"""{"job":"shelve","rows":${snap.rowCount},""" +
+            s""""skip_nomatch":${m("skip_nomatch")},"skip_multi":${m("skip_multi")}}""")
         case "tile" =>
           val stats = Tiling.coverageStats(Pages.fromDocuments(spark, sfDir))
           val snap = Icelite.commit(spark, stats, s"$outRoot/tile_stats", s"tile:$sfDir")

@@ -51,6 +51,27 @@ object EventStream {
       .select(col("window.start").cast("long").as("hr_epoch"),
         col("geocell"), col("n"))
 
+  /** Streaming shelve: pages PIP-shelved against the STATIC tile grid as
+    * they arrive (stream-static broadcast join — the tile side is a
+    * dimension, so micro-batches never shuffle the stream), then windowed
+    * per-tile counts. The streaming twin of the flagship shelve → aggregate
+    * spine; exactly-one semantics (and the skip metrics) come from the same
+    * [[graft.ops.PipJoin.shelve]] the batch path uses.
+    */
+  def streamingShelveCounts(pages: DataFrame, tiles: DataFrame,
+                            level: Int = 8): DataFrame = {
+    val withWm = pages
+      .withColumn("warc_ts", col("warc_ts").cast("timestamp"))
+      .withWatermark("warc_ts", "2 hours")
+    val shelved = graft.ops.PipJoin.shelve(withWm, tiles,
+      "doc_id", "lon", "lat", "tile_name", "ring", level = level)
+    shelved
+      .groupBy(window(col("warc_ts"), "1 hour"), col("tile_name"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("window.start").cast("long").as("hr_epoch"),
+        col("tile_name"), col("n"))
+  }
+
   /** Streaming exact dedup on the record id — the training-ingest "have we
     * seen this document before" gate. `dropDuplicatesWithinWatermark` keys
     * state by event_id and evicts entries once the watermark passes, so

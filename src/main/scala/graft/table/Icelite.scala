@@ -108,7 +108,12 @@ object Icelite {
     val dataDir = Paths.get(table, "data", uuid)
     val bucketed = df.columns.contains("__bucket")
     if (bucketed)
-      df.write.mode("overwrite").partitionBy("__bucket").parquet(dataDir.toString)
+      // co-locate each bucket into one task before the partitioned write:
+      // without it every task writes a file per bucket value it holds
+      // (#tasks × #buckets files per merge — file-count rot at scale);
+      // with it a bucket is one file (modulo benign hash collisions)
+      df.repartition(col("__bucket"))
+        .write.mode("overwrite").partitionBy("__bucket").parquet(dataDir.toString)
     else
       df.write.mode("overwrite").parquet(dataDir.toString)
     val dataCols = df.columns.filterNot(_ == "__bucket").toSeq
@@ -269,6 +274,15 @@ object Icelite {
   def read(spark: SparkSession, table: String): DataFrame = {
     val id = currentSnapshotId(table).getOrElse(
       throw new IllegalStateException(s"no committed snapshot in $table"))
+    readAt(spark, table, id)
+  }
+
+  /** Time travel: read snapshot `id` as of its commit (Iceberg
+    * `VERSION AS OF` analog). Any still-retained manifest id works — data
+    * files are immutable and carried entries keep old snapshots readable
+    * until [[expireSnapshots]] drops them.
+    */
+  def readAt(spark: SparkSession, table: String, id: Long): DataFrame = {
     val snap = readManifest(table, id)
     if (snap.files.isEmpty) spark.emptyDataFrame
     else spark.read.parquet(snap.filePaths: _*)

@@ -160,6 +160,27 @@ class IceliteSpec extends SparkSpec {
     assert(Icelite.verifyLineage(spark, t))
   }
 
+  test("merge writes one file per bucket (no file-count rot across merges)") {
+    val t = tmpDir() + "/m7"
+    val big = (1 to 1000).map(i => (i.toLong, s"v$i")).toDF("id", "v")
+    Icelite.merge(spark, big, t, Seq("id"), nBuckets = 8)
+    val s1 = Icelite.readManifest(t, Icelite.currentSnapshotId(t).get)
+    assert(s1.files.groupBy(_.bucket).forall(_._2.size == 1),
+      s"one file per bucket expected, got ${s1.files.groupBy(_.bucket).view.mapValues(_.size).toMap}")
+    Icelite.merge(spark, Seq((3L, "x"), (4L, "y")).toDF("id", "v"), t, Seq("id"), nBuckets = 8)
+    val s2 = Icelite.readManifest(t, Icelite.currentSnapshotId(t).get)
+    assert(s2.files.groupBy(_.bucket).forall(_._2.size == 1))
+  }
+
+  test("time travel: readAt returns a retained old snapshot's rows") {
+    val t = tmpDir() + "/tt1"
+    Icelite.merge(spark, Seq((1L, "a")).toDF("id", "v"), t, Seq("id"), nBuckets = 4)
+    Icelite.merge(spark, Seq((1L, "A2"), (2L, "b")).toDF("id", "v"), t, Seq("id"), nBuckets = 4)
+    assert(Icelite.readAt(spark, t, 1).as[(Long, String)].collect().toSet === Set((1L, "a")))
+    assert(Icelite.readAt(spark, t, 2).as[(Long, String)].collect().toSet
+      === Set((1L, "A2"), (2L, "b")))
+  }
+
   test("merge onto a legacy unbucketed snapshot re-buckets once") {
     val t = tmpDir() + "/m6"
     Icelite.commit(spark, Seq((1L, "a"), (2L, "b")).toDF("id", "v"), t) // nBuckets = 0

@@ -60,6 +60,38 @@ class StreamingSpec extends SparkSpec {
     assert(got.exists { case (_, cell, n) => cell == "n51e012" && n == 2 })
   }
 
+  test("streaming shelve counts (complete mode) match the batch shelve + agg") {
+    implicit val sqlCtx = spark.sqlContext
+    val tiles = Seq(
+      ("t_a", Seq(10.0, 50.0, 15.0, 50.0, 15.0, 55.0, 10.0, 55.0)),
+      ("t_b", Seq(-2.0, -2.0, 2.0, -2.0, 2.0, 2.0, -2.0, 2.0)),
+      // overlapping tile: points in the overlap with t_b are multi-match skips
+      ("t_b2", Seq(0.0, 0.0, 3.0, 0.0, 3.0, 3.0, 0.0, 3.0))).toDF("tile_name", "ring")
+    val input = MemoryStream[(Long, Timestamp, Double, Double)]
+    val pages = Seq(
+      (1L, ts(0), 12.3, 51.2), (2L, ts(5), 12.9, 51.8), // t_a, same hour
+      (3L, ts(70), -0.5, -0.5),                          // t_b, next hour
+      (4L, ts(75), 0.5, 0.5),                            // overlap -> skipped
+      (5L, ts(80), 170.0, 10.0))                         // no tile -> skipped
+    input.addData(pages: _*)
+    val q = EventStream.streamingShelveCounts(
+        input.toDF().toDF("doc_id", "warc_ts", "lon", "lat"), tiles)
+      .writeStream.format("memory").queryName("stream_shelve")
+      .outputMode("complete").start()
+    q.processAllAvailable(); q.stop()
+    val got = spark.table("stream_shelve").as[(Long, String, Long)].collect().toSet
+    val batch = graft.ops.PipJoin.shelve(
+        pages.toDF("doc_id", "warc_ts", "lon", "lat"), tiles,
+        "doc_id", "lon", "lat", "tile_name", "ring")
+      .groupBy(date_trunc("hour", col("warc_ts")).cast("long").as("hr_epoch"),
+        col("tile_name"))
+      .agg(count(lit(1)).as("n"))
+      .as[(Long, String, Long)].collect().toSet
+    assert(got === batch)
+    assert(got.exists { case (_, t, n) => t == "t_a" && n == 2 })
+    assert(!got.exists(_._2 == "t_b2"), "overlap points must be skipped, not double-shelved")
+  }
+
   test("streaming dedup drops re-deliveries within the watermark") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[Event]
