@@ -469,9 +469,10 @@ object SparkEntry {
         lit("Output Projection='+proj=longlat +a="), (k % 100).cast("string"), lit(" +b=2'\n"),
         lit("scene 2=SC"), k.cast("string"), lit("_s2.tif\n"),
         lit("Image 1=img2_"), k.cast("string"), lit(".tif"))
-      val h = graft.parse.MetaParsers.stripMetaHeaderUdf(meta)
-      val sc = graft.parse.MetaParsers.stripMetaScenesUdf(meta)
-      val al = graft.parse.MetaParsers.stripMetaAlignUdf(meta)
+      val sm = graft.parse.MetaParsers.stripMetaUdf(meta)
+      val h = sm.getField("header")
+      val sc = sm.getField("scenes")
+      val al = sm.getField("alignment")
       o.select(k.as("okey"),
         try_element_at(h, lit("s2s_version")).as("s2s_ver"),
         try_element_at(h, lit("Creation Date")).as("cr_date"),

@@ -140,6 +140,13 @@ object MetaParsers {
   val stripMetaScenesUdf = udf((s: String) => parseStripMeta(s).scenes)
   val stripMetaAlignUdf = udf((s: String) => parseStripMeta(s).alignment)
 
+  /** One-parse wrapper: the whole [[StripMeta]] as a struct column, so a
+    * query extracting several fields parses the text once per row (common
+    * subexpression elimination merges the identical deterministic UDF
+    * calls inside one projection) instead of once per field.
+    */
+  val stripMetaUdf = udf((s: String) => parseStripMeta(s))
+
   /** P1 — the reference's filename grammars (lib/dem.py:57-124), reproduced
     * group-for-group (case-insensitive, anchored at the end like `\Z`).
     */

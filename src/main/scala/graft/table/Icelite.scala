@@ -73,8 +73,12 @@ object Icelite {
       .findAllMatchIn(txt)
       .map(m => FileEntry(m.group(1), m.group(2).toInt, m.group(3).toLong, m.group(4).toLong))
       .toSeq
+    // nBuckets absent in pre-bucketing manifests ⇒ 0 (unbucketed layout);
+    // merge onto such a snapshot takes the full re-bucketing rewrite path
+    val nBuckets = """"nBuckets"\s*:\s*(\d+)""".r.findFirstMatchIn(txt)
+      .map(_.group(1).toInt).getOrElse(0)
     Snapshot(field("id").toLong, field("uuid"), files, field("rowCount").toLong,
-      field("inputFingerprint"), field("nBuckets").toInt)
+      field("inputFingerprint"), nBuckets)
   }
 
   /** Per-file lineage of freshly written parquet under `dataDir`: one scan,
@@ -371,7 +375,11 @@ object Icelite {
     val dirs = try walk.iterator().asScala.filter(Files.isDirectory(_)).toSeq
                finally walk.close()
     dirs.sortBy(-_.getNameCount).foreach { d =>
-      if (d != root && !Files.list(d).iterator().hasNext) Files.delete(d)
+      if (d != root) {
+        val ls = Files.list(d)
+        val empty = try !ls.iterator().hasNext finally ls.close()
+        if (empty) Files.delete(d)
+      }
     }
   }
 
