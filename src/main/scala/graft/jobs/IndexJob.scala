@@ -44,12 +44,17 @@ object IndexJob {
     */
   object CustomPaths {
 
-    /** utils.PROJECTS pretty-name map (lib/utils.py:155-159). */
+    /** utils.PROJECTS pretty-name map (lib/utils.py:155-159). An unknown
+      * project key fails loudly like the reference's `PROJECTS[...]`
+      * KeyError — a silent NULL would make concat_ws drop the segment and
+      * write a structurally-valid-looking but wrong path into the index.
+      */
     def prettyProject(region: Column): Column = {
       val key = split(region, "_").getItem(0)
-      when(key === "arcticdem", "ArcticDEM")
-        .when(key === "rema", "REMA")
-        .when(key === "earthdem", "EarthDEM")
+      when(key === "arcticdem", lit("ArcticDEM"))
+        .when(key === "rema", lit("REMA"))
+        .when(key === "earthdem", lit("EarthDEM"))
+        .otherwise(raise_error(concat(lit("unknown project key: "), key)))
     }
 
     private def sensor(p: Column) = substring(p, 1, 4)

@@ -77,20 +77,26 @@ object KnnJoin {
                 k: Int = 5, targetMaxPerCell: Int = 1024,
                 sampleFraction: Double = 0.05,
                 candidates: Seq[Int] = Seq(2, 4, 6, 8, 10, 12, 14)): Int = {
-    val s = points.sample(sampleFraction)
+    // seeded: an unseeded sample can flip the pick between two invocations
+    // of the same query (e.g. Bench's warmup vs timed pass), changing the
+    // compiled plan shape and re-charging one-time codegen to the timed run
+    val s = points.sample(sampleFraction, seed = 42L)
       .select(col(lonmCol).as("lonm"), col(latmCol).as("latm"))
       .localCheckpoint()
-    val maxOccs = candidates.map { level =>
-      val row = s
-        .select(org.apache.spark.sql.graft.CellExpressions
-          .cell_at(col("lonm") / 1000.0, col("latm") / 1000.0, level).as("c"))
-        .groupBy("c").count()
-        .agg(max("count")).head()
-      // an empty sample (tiny input × small fraction) aggregates to NULL:
-      // nothing measured ⇒ every level is eligible, r_k is unknowable ⇒
-      // the coarsest candidate wins below
-      level -> (if (row.isNullAt(0)) 0.0 else row.getLong(0) / sampleFraction)
-    }
+    // ONE pass for every candidate level: explode (level, cell) pairs, two
+    // shuffles total — not one sequential driver-blocking job per level
+    val lvlArr = array(candidates.map(l =>
+      org.apache.spark.sql.graft.CellExpressions
+        .cell_at(col("lonm") / 1000.0, col("latm") / 1000.0, l)): _*)
+    val occRows = s.select(posexplode(lvlArr).as(Seq("li", "cell")))
+      .groupBy("li", "cell").count()
+      .groupBy("li").agg(max("count").as("m"))
+      .collect()
+    // an empty sample (tiny input × small fraction) yields no rows: nothing
+    // measured ⇒ every level is eligible, r_k is unknowable ⇒ the coarsest
+    // candidate wins below
+    val occByLevel = occRows.map(r => candidates(r.getInt(0)) -> r.getLong(1)).toMap
+    val maxOccs = candidates.map(l => l -> occByLevel.getOrElse(l, 0L) / sampleFraction)
     val eligible = maxOccs.filter(_._2 <= targetMaxPerCell).map(_._1)
     if (eligible.isEmpty) return candidates.last
     // typical k-NN radius from deduplicated sample density over its bbox
@@ -116,7 +122,15 @@ object KnnJoin {
               levelOverride: Option[Int] = None,
               maxRounds: Int = 3, bruteThreshold: Long = 50000000L): DataFrame = {
     val level = levelOverride
-      .orElse(sys.env.get("GRAFT_KNN_LEVEL").map(_.toInt))
+      .orElse(sys.env.get("GRAFT_KNN_LEVEL").map { v =>
+        val l = try v.trim.toInt catch {
+          case _: NumberFormatException => throw new IllegalArgumentException(
+            s"GRAFT_KNN_LEVEL must be an integer, got '$v'")
+        }
+        require(l >= 1 && l <= graft.cells.Cells.MaxLevel,
+          s"GRAFT_KNN_LEVEL out of range [1, ${graft.cells.Cells.MaxLevel}]: $l")
+        l
+      })
       .getOrElse(pickLevel(points, k = k))
     knn(spark, queries, points, qId, pId, k, level, maxRounds, bruteThreshold)
   }

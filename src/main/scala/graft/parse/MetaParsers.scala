@@ -62,9 +62,12 @@ object MetaParsers {
         else if (!inHeader && l.startsWith("scene ")) scenes += scala.collection.mutable.Map()
         if (inHeader) {
           if (l.contains(": ")) {
-            val i = l.indexOf(": ")
-            val k = l.substring(0, i).trim
-            if (k.nonEmpty) header(k) = l.substring(i + 2).trim
+            // the reference's `key,val = l.split(': ')` RAISES on a second
+            // ': ' occurrence and stores nothing (dem.py:1503-1506 logs and
+            // skips) — mirror the skip, don't keep a first-separator split
+            val parts = l.split(": ", -1)
+            if (parts.length == 2 && parts(0).trim.nonEmpty)
+              header(parts(0).trim) = parts(1).trim
           } else if (l.contains(".tif ")) {
             val stats = l.split("\\s+")
             alignment(stripExt(stats(0))) = stats.toSeq.tail
@@ -78,12 +81,20 @@ object MetaParsers {
             }
           }
         } else if (l.contains("=") && scenes.nonEmpty) {
-          val i = l.indexOf('=')
-          val k = l.substring(0, i).trim
-          val v = l.substring(i + 1).trim
-          if (k == "Output Projection") scenes.last(k) = v
-          else if (k.startsWith("scene ")) scenes.last("scene_name") = stripExt(v)
-          else if (k.nonEmpty) scenes.last(k) = v
+          if (l.startsWith("Output Projection=")) {
+            // keeps the whole remainder — the value itself contains '='
+            scenes.last("Output Projection") = l.substring(l.indexOf('=') + 1).trim
+          } else {
+            // reference `key,val = l.split('=')` raises + skips on a second
+            // '=' (dem.py:1527-1530) — mirror the skip
+            val parts = l.split("=", -1)
+            if (parts.length == 2) {
+              val k = parts(0).trim
+              val v = parts(1).trim
+              if (k.startsWith("scene ")) scenes.last("scene_name") = stripExt(v)
+              else if (k.nonEmpty) scenes.last(k) = v
+            }
+          }
         }
       }
     }

@@ -121,10 +121,11 @@ object Icelite {
     else
       df.write.mode("overwrite").parquet(dataDir.toString)
     val dataCols = df.columns.filterNot(_ == "__bucket").toSeq
+    val ls = Files.list(dataDir)
+    val hasData = try ls.iterator().asScala.exists(p =>
+      p.toString.endsWith(".parquet") || Files.isDirectory(p)) finally ls.close()
     val entries =
-      if (Files.list(dataDir).iterator().asScala.exists(p =>
-        p.toString.endsWith(".parquet") || Files.isDirectory(p)))
-        fileLineage(spark, dataDir, dataCols)
+      if (hasData) fileLineage(spark, dataDir, dataCols)
       else Seq.empty // empty write: only _SUCCESS
     (uuid, entries)
   }
@@ -251,6 +252,9 @@ object Icelite {
               case None => incoming
             }
             (carry, merged)
+          } else if (base.files.isEmpty) {
+            // zero-file base (a committed empty frame): nothing to carry
+            (Seq.empty, incoming)
           } else {
             // bucket-layout change (or legacy unbucketed snapshot): full rewrite
             val all = spark.read.parquet(base.filePaths: _*).withColumn("__bucket", bucketOf)
@@ -340,12 +344,20 @@ object Icelite {
     require(retain >= 1, "must retain at least the current snapshot")
     val cur = currentSnapshotId(table).getOrElse(return (0, 0))
     val manifestRe = """snapshot-(\d+)\.json""".r
-    val ids = Files.list(metaDir(table)).iterator().asScala
+    val metaLs = Files.list(metaDir(table))
+    val ids = try metaLs.iterator().asScala
       .flatMap(p => manifestRe.findFirstMatchIn(p.getFileName.toString).map(_.group(1).toLong))
       .toSeq.sorted
+      finally metaLs.close()
     val (expired, kept) = ids.partition(_ <= cur - retain)
+    // canonicalize BOTH sides: manifest paths come from input_file_name()
+    // (absolute, normalized) while the walk below is prefixed by however the
+    // caller spelled `table` — a raw-string compare on a relative table path
+    // would see every live file as unreferenced and GC the whole table
+    def canon(p: Path): String = p.toAbsolutePath.normalize.toString
     val referenced: Set[String] =
-      kept.flatMap(id => readManifest(table, id).filePaths).toSet
+      kept.flatMap(id => readManifest(table, id).filePaths)
+        .map(f => canon(Paths.get(f))).toSet
     expired.foreach(id => Files.delete(metaDir(table).resolve(s"snapshot-$id.json")))
     // GC: delete unreferenced files under data/, then prune empty dirs
     val dataRoot = Paths.get(table, "data")
@@ -355,9 +367,9 @@ object Icelite {
       // everything else unreferenced goes
       def keep(p: Path): Boolean = {
         val name = p.getFileName.toString
-        referenced.contains(p.toString) ||
+        referenced.contains(canon(p)) ||
           (name.startsWith(".") && name.endsWith(".crc") &&
-            referenced.contains(p.getParent.resolve(name.drop(1).dropRight(4)).toString))
+            referenced.contains(canon(p.getParent.resolve(name.drop(1).dropRight(4)))))
       }
       val walk = Files.walk(dataRoot)
       try {

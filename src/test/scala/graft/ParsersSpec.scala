@@ -48,6 +48,14 @@ class ParsersSpec extends AnyFunSuite {
     assert(m.scenes(0)("Image_1_Sun_Elevation") === "35.2")
     assert(m.scenes(0)("Output Projection") === "'+proj=stere +k=1'")
     assert(m.scenes(1)("scene_name") === "SC2")
+    // multi-separator lines are SKIPPED like the reference's ValueError path
+    // (dem.py:1503-1506 header, 1527-1530 scenes) — not first-separator-split
+    val m2 = MetaParsers.parseStripMeta(
+      "A: B: C\nGood: v\nScene Metadata\nscene 1=S.tif\nbad=a=b\nok=1\n")
+    assert(!m2.header.contains("A"))
+    assert(m2.header("Good") === "v")
+    assert(!m2.scenes(0).contains("bad"))
+    assert(m2.scenes(0)("ok") === "1")
     // a 'Strip Metadata' line that defeats the anchored version regex raises
     // (dem.py:1516-1520); a versionless title is fine (group = None)
     intercept[IllegalArgumentException] {
