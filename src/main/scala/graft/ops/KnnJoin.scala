@@ -83,22 +83,43 @@ object KnnJoin {
     val s = points.sample(sampleFraction, seed = 42L)
       .select(col(lonmCol).as("lonm"), col(latmCol).as("latm"))
       .localCheckpoint()
-    // ONE pass for every candidate level: explode (level, cell) pairs, two
-    // shuffles total — not one sequential driver-blocking job per level
-    val lvlArr = array(candidates.map(l =>
-      org.apache.spark.sql.graft.CellExpressions
-        .cell_at(col("lonm") / 1000.0, col("latm") / 1000.0, l)): _*)
-    val occRows = s.select(posexplode(lvlArr).as(Seq("li", "cell")))
-      .groupBy("li", "cell").count()
-      .groupBy("li").agg(max("count").as("m"))
-      .collect()
+    // ONE pass for a batch of candidate levels: explode (level, cell) pairs,
+    // two shuffles total — not one sequential driver-blocking job per level
+    def measureMaxOcc(levels: Seq[Int]): Map[Int, Long] = {
+      val lvlArr = array(levels.map(l =>
+        org.apache.spark.sql.graft.CellExpressions
+          .cell_at(col("lonm") / 1000.0, col("latm") / 1000.0, l)): _*)
+      s.select(posexplode(lvlArr).as(Seq("li", "cell")))
+        .groupBy("li", "cell").count()
+        .groupBy("li").agg(max("count").as("m"))
+        .collect()
+        .map(r => levels(r.getInt(0)) -> r.getLong(1)).toMap
+    }
     // an empty sample (tiny input × small fraction) yields no rows: nothing
     // measured ⇒ every level is eligible, r_k is unknowable ⇒ the coarsest
     // candidate wins below
-    val occByLevel = occRows.map(r => candidates(r.getInt(0)) -> r.getLong(1)).toMap
-    val maxOccs = candidates.map(l => l -> occByLevel.getOrElse(l, 0L) / sampleFraction)
-    val eligible = maxOccs.filter(_._2 <= targetMaxPerCell).map(_._1)
-    if (eligible.isEmpty) return candidates.last
+    var probed = candidates
+    var occByLevel = measureMaxOcc(probed)
+    def eligibleOf(ls: Seq[Int]): Seq[Int] = ls
+      .map(l => l -> occByLevel.getOrElse(l, 0L) / sampleFraction)
+      .filter(_._2 <= targetMaxPerCell).map(_._1)
+    var eligible = eligibleOf(probed)
+    // DERIVE the ladder from the density instead of stopping at a fixed
+    // ceiling: at the 10^12-row design point a hot cluster can make every
+    // level ≤ 14 ineligible, and falling back to the finest FIXED candidate
+    // re-introduces the quadratic hot-cell round the heuristic exists to
+    // kill. Keep probing finer levels (4 per extra pass — max occupancy can
+    // only shrink with level, so each pass either finds an eligible level or
+    // rules out 4 more) until one fits or the id space runs out; co-located
+    // duplicate points put a floor under max occupancy, so Cells.MaxLevel is
+    // the hard stop (the in-loop brute short-circuit absorbs that case).
+    while (eligible.isEmpty && probed.last < Cells.MaxLevel) {
+      val next = (probed.last + 2) to math.min(probed.last + 8, Cells.MaxLevel) by 2
+      occByLevel ++= measureMaxOcc(next)
+      probed = probed ++ next
+      eligible = eligibleOf(next)
+    }
+    if (eligible.isEmpty) return probed.last
     // typical k-NN radius from deduplicated sample density over its bbox
     val d = s.distinct().agg(count(lit(1)),
       (max(col("lonm")) - min(col("lonm"))).cast("double"),
@@ -205,18 +226,35 @@ object KnnJoin {
           col("neighbor_id"),
           dist2(col("q_lonm"), col("q_latm"), col("p_lonm"), col("p_latm")).as("d2"))
       val cand0 = if (carry == null) fresh else carry.unionByName(fresh)
-      val w = Window.partitionBy("query_id").orderBy(col("d2"), col("neighbor_id"))
-      val topk = cand0
-        .withColumn("rn", row_number().over(w))
-        .filter(col("rn") <= k)
+      // best-k-so-far via the bounded-heap TopK aggregator, NOT a window:
+      // the window form sorts every candidate row per partition and shuffles
+      // the whole candidate set; the aggregator keeps k entries per query
+      // per partition, combines map-side, and shuffles k·queries rows. The
+      // query coords/cell ride in the grouping key, and the termination
+      // bound — k candidates found AND k-th distance within the guaranteed-
+      // searched radius (points in any unexplored cell are at least r·cellH
+      // away) — falls out of the aggregated entries (sorted ascending, so
+      // last = k-th distance), replacing two more per-query windows.
+      val boundVal = (r * cellH) * (r * cellH)
+      val kk = k
+      import spark.implicits._
+      val aggCol = new TopK.TopKAgg(k).toColumn
+      val flagged = cand0.select(
+          struct(col("query_id").as("_1"), col("q_lonm").as("_2"),
+            col("q_latm").as("_3"), col("__qcell").as("_4")).as("q"),
+          struct(col("d2").as("_1"), col("neighbor_id").as("_2")).as("e"))
+        .as[((Long, Long, Long, Long), (Long, Long))]
+        .groupByKey(_._1).mapValues(_._2)
+        .agg(aggCol.name("topk"))
+        .flatMap { case ((qid, qlonm, qlatm, qcell), entries) =>
+          val done = entries.length >= kk && entries.last._1 <= boundVal
+          entries.iterator.zipWithIndex.map { case ((d2v, nid), i) =>
+            (qid, qlonm, qlatm, qcell, nid, d2v, i + 1, done) }
+        }
+        .toDF("query_id", "q_lonm", "q_latm", "__qcell",
+          "neighbor_id", "d2", "rn", "__done")
         .localCheckpoint() // one job; truncates the per-round lineage
-      // termination bound: k-th distance within the guaranteed-searched
-      // radius (points in any unexplored cell are at least r·cellH away)
-      val bound = lit((r * cellH) * (r * cellH))
-      val doneCol =
-        count(lit(1)).over(Window.partitionBy("query_id")) >= k &&
-          max(col("d2")).over(Window.partitionBy("query_id")) <= bound
-      val flagged = topk.withColumn("__done", doneCol)
+      val topk = flagged
       finishedParts += flagged.filter(col("__done"))
         .select("query_id", "neighbor_id", "d2", "rn")
       val unfinished = flagged.filter(!col("__done"))

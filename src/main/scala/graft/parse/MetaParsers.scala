@@ -46,6 +46,13 @@ object MetaParsers {
     * `scene N=<name>.tif` (stored extension-stripped as `scene_name`),
     * `Output Projection=` keeping the whole remainder, other `key=value`
     * pairs verbatim.
+    *
+    * DELIBERATE divergence: the reference's `Output Projection` branch
+    * computes key/val and then never stores them — a dead assignment
+    * (dem.py:1523-1526) that silently discards the projection string. We
+    * store it under `Output Projection` because a parser that drops a parsed
+    * field is a bug being faithfully reproduced, not a semantic; the
+    * q_strip_meta_parse oracle bakes the stored value in.
     */
   def parseStripMeta(text: String): StripMeta = {
     val header = scala.collection.mutable.Map[String, String]()

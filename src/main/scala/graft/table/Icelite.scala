@@ -16,10 +16,10 @@ import org.apache.spark.sql.functions._
   * rename-based commit maps to a conditional PUT of the pointer object):
   * {{{
   * <table>/
-  *   data/<snapshotUuid>/part-*.parquet             -- unbucketed data files
-  *   data/<snapshotUuid>/__bucket=<b>/part-*.parquet -- PK-hash-bucketed files
-  *   meta/snapshot-<id>.json                        -- manifest: file entries
-  *   _CURRENT                                       -- atomic pointer
+  *   data/<snapshotUuid>/part-*.parquet                 -- unsliced data files
+  *   data/<snapshotUuid>/__slice=<mod>_<res>/part-*.parquet -- PK-hash slices
+  *   meta/snapshot-<id>.json                            -- manifest: file entries
+  *   _CURRENT                                           -- atomic pointer
   * }}}
   *
   * Commit protocol: write data to a fresh uuid dir → write the manifest →
@@ -29,11 +29,25 @@ import org.apache.spark.sql.functions._
   * `.cogfin` in package_setsm.py:395-438 and the `--check` verification of
   * index_setsm.py:1179-1197).
   *
+  * Data files are SELF-DESCRIBING HASH SLICES: a file tagged (mod, res)
+  * holds only rows whose PK hash h satisfies `pmod(h, mod) == res`
+  * (mod = 0 marks an unsliced file from a full-overwrite [[commit]]). The
+  * slice tag is a claim over hash space, not a partition: claims may
+  * overlap and need not cover — correctness rests on (a) every row in a
+  * file satisfies its file's claim (maintained by construction) and (b) a
+  * [[merge]] rewrites EVERY file whose claim intersects the batch's hashes,
+  * so a PK collision can never hide in a carried file. Slices let both
+  * merge IO *and file size* stay O(batch): a merge rewrites only
+  * intersecting files and writes its output at a modulus chosen so no file
+  * exceeds `maxRowsPerFile` — at 100 TB a daily metadata upsert rewrites a
+  * few bounded files, never a 3 TB bucket (the round-3 layout's one file
+  * per fixed bucket grew without bound).
+  *
   * Lineage is PER DATA FILE (rows + xor-of-hash checksum — the Iceberg
   * manifest-entry analog; a Spark partition id is ephemeral, the written
   * file IS the durable partition). File-level lineage is what lets
   * [[merge]] carry untouched files into the next snapshot verbatim with
-  * their lineage intact, so upsert IO is O(batch), not O(table).
+  * their lineage intact.
   *
   * Resume: [[Pipeline.stage]] skips a stage whose table already has a
   * committed snapshot for the same input fingerprint — the Spark analog of
@@ -42,17 +56,56 @@ import org.apache.spark.sql.functions._
   */
 object Icelite {
 
-  /** One immutable data file: its PK-hash bucket (-1 = unbucketed) and
-    * lineage (row count + order-independent xor-of-row-hash checksum). */
-  case class FileEntry(path: String, bucket: Int, rows: Long, checksum: Long)
+  /** Default size bound for one data file, in rows (the lineage unit; byte
+    * size tracks rows for a fixed schema). */
+  val DefaultMaxRowsPerFile: Long = 4000000L
 
+  /** One immutable data file and its hash-slice claim: holds only rows with
+    * `pmod(hash(pk…), mod) == res`; mod = 0 ⇒ unsliced (full-overwrite
+    * commit, no claim). Lineage = row count + order-independent
+    * xor-of-row-hash checksum. */
+  case class FileEntry(path: String, mod: Int, res: Int, rows: Long, checksum: Long)
+
+  /** `bucketSpec` records the PK columns (comma-joined, order-sensitive) the
+    * slice hashes were computed from; a merge with a different PK spec must
+    * not trust the slice claims (it takes the full-rewrite path). */
   case class Snapshot(id: Long, uuid: String, files: Seq[FileEntry], rowCount: Long,
-                      inputFingerprint: String, nBuckets: Int) {
+                      inputFingerprint: String, nBuckets: Int, bucketSpec: String) {
     def filePaths: Seq[String] = files.map(_.path)
   }
 
   private def metaDir(table: String): Path = Paths.get(table, "meta")
   private def currentPtr(table: String): Path = Paths.get(table, "_CURRENT")
+
+  /** Critical-section guard shared by the commit path and [[expireSnapshots]]:
+    * a per-table JVM monitor (java.nio file locks are per-process — two
+    * threads of one JVM would throw OverlappingFileLockException) wrapping an
+    * OS file lock (cross-process). On an object store this maps to the
+    * conditional-PUT the pointer swap already models. */
+  private val tableLocks = new java.util.concurrent.ConcurrentHashMap[String, Object]()
+  private def withTableLock[T](table: String)(body: => T): T = {
+    val key = Paths.get(table).toAbsolutePath.normalize.toString
+    val monitor = tableLocks.computeIfAbsent(key, _ => new Object)
+    monitor.synchronized {
+      val lockCh = FileChannel.open(Paths.get(table, "_LOCK"),
+        StandardOpenOption.CREATE, StandardOpenOption.WRITE)
+      try {
+        val lock = lockCh.lock()
+        try body finally lock.release()
+      } finally lockCh.close()
+    }
+  }
+
+  /** Free the block-cache of a localCheckpoint()ed DataFrame. Dataset
+    * .unpersist only drops CacheManager entries, not the checkpoint RDD's
+    * blocks — without this, repeated merges in a long-running job (e.g. a
+    * streaming foreachBatch upsert loop) accumulate checkpoint blocks for
+    * the lifetime of the SparkSession. */
+  private def freeLocalCheckpoint(df: DataFrame): Unit =
+    df.queryExecution.analyzed match {
+      case l: org.apache.spark.sql.execution.LogicalRDD => l.rdd.unpersist(false)
+      case _ => ()
+    }
 
   def currentSnapshotId(table: String): Option[Long] = {
     val p = currentPtr(table)
@@ -60,7 +113,12 @@ object Icelite {
   }
 
   /** Read a snapshot manifest (JSON is hand-rolled: no JSON lib needed for
-    * this fixed shape).
+    * this fixed shape). Accepts the current slice format and the round-3
+    * bucket format (`"bucket":b` ⇒ slice (nBuckets, b); -1 ⇒ unsliced).
+    * Anything older that yields rows without file entries is a corrupt or
+    * unsupported manifest and FAILS LOUDLY — proceeding would read the
+    * table as empty, a merge would drop every existing row, and GC would
+    * delete live data.
     */
   def readManifest(table: String, id: Long): Snapshot = {
     val txt = Files.readString(metaDir(table).resolve(s"snapshot-$id.json"))
@@ -69,26 +127,42 @@ object Icelite {
         .getOrElse(throw new IllegalStateException(s"manifest missing $k"))
       Option(m.group(2)).getOrElse(m.group(1))
     }
-    val files = """\{"path":"([^"]*)","bucket":(-?\d+),"rows":(\d+),"checksum":(-?\d+)\}""".r
+    def opt(k: String, default: String): String =
+      (s""""$k"\\s*:\\s*("([^"]*)"|[0-9-]+)""").r.findFirstMatchIn(txt)
+        .map(m => Option(m.group(2)).getOrElse(m.group(1))).getOrElse(default)
+    val nBuckets = opt("nBuckets", "0").toInt
+    val sliceFiles = """\{"path":"([^"]*)","mod":(\d+),"res":(\d+),"rows":(\d+),"checksum":(-?\d+)\}""".r
       .findAllMatchIn(txt)
-      .map(m => FileEntry(m.group(1), m.group(2).toInt, m.group(3).toLong, m.group(4).toLong))
+      .map(m => FileEntry(m.group(1), m.group(2).toInt, m.group(3).toInt,
+        m.group(4).toLong, m.group(5).toLong))
       .toSeq
-    // nBuckets absent in pre-bucketing manifests ⇒ 0 (unbucketed layout);
-    // merge onto such a snapshot takes the full re-bucketing rewrite path
-    val nBuckets = """"nBuckets"\s*:\s*(\d+)""".r.findFirstMatchIn(txt)
-      .map(_.group(1).toInt).getOrElse(0)
-    Snapshot(field("id").toLong, field("uuid"), files, field("rowCount").toLong,
-      field("inputFingerprint"), nBuckets)
+    val files =
+      if (sliceFiles.nonEmpty) sliceFiles
+      else """\{"path":"([^"]*)","bucket":(-?\d+),"rows":(\d+),"checksum":(-?\d+)\}""".r
+        .findAllMatchIn(txt)
+        .map { m =>
+          val b = m.group(2).toInt
+          if (b >= 0) FileEntry(m.group(1), nBuckets, b, m.group(3).toLong, m.group(4).toLong)
+          else FileEntry(m.group(1), 0, 0, m.group(3).toLong, m.group(4).toLong)
+        }.toSeq
+    val rowCount = field("rowCount").toLong
+    if (rowCount > 0 && files.isEmpty)
+      throw new IllegalStateException(
+        s"manifest snapshot-$id.json of $table claims $rowCount rows but no " +
+          "parseable file entries — unsupported/corrupt manifest format; refusing " +
+          "to read the table as empty")
+    Snapshot(field("id").toLong, field("uuid"), files, rowCount,
+      field("inputFingerprint"), nBuckets, opt("bucketSpec", ""))
   }
 
   /** Per-file lineage of freshly written parquet under `dataDir`: one scan,
     * grouped by physical file. `dataCols` is the logical schema (the
-    * `__bucket` partition directory column is layout, not data).
+    * `__slice` partition directory column is layout, not data).
     */
   private def fileLineage(spark: SparkSession, dataDir: Path,
                           dataCols: Seq[String]): Seq[FileEntry] = {
     val written = spark.read.parquet(dataDir.toString)
-    val bucketRe = """__bucket=(\d+)""".r
+    val sliceRe = """__slice=(\d+)_(\d+)""".r
     written
       .withColumn("__file", input_file_name())
       // order-independent checksum; bit_xor never overflows (ANSI mode is on
@@ -99,28 +173,29 @@ object Icelite {
       .collect()
       .map { r =>
         val path = new java.net.URI(r.getString(0)).getPath
-        val bucket = bucketRe.findFirstMatchIn(path).map(_.group(1).toInt).getOrElse(-1)
-        FileEntry(path, bucket, r.getLong(1), r.getLong(2))
+        val (mod, res) = sliceRe.findFirstMatchIn(path)
+          .map(m => (m.group(1).toInt, m.group(2).toInt)).getOrElse((0, 0))
+        FileEntry(path, mod, res, r.getLong(1), r.getLong(2))
       }.toSeq.sortBy(_.path)
   }
 
-  /** Write `df` into a fresh uuid data dir (bucketed by `__bucket` when the
-    * column is present) and return its per-file lineage entries.
+  /** Write `df` into a fresh uuid data dir (slice-partitioned when the
+    * `__slice` column is present) and return its per-file lineage entries.
     */
   private def writeData(spark: SparkSession, df: DataFrame, table: String): (String, Seq[FileEntry]) = {
     val uuid = UUID.randomUUID().toString
     val dataDir = Paths.get(table, "data", uuid)
-    val bucketed = df.columns.contains("__bucket")
-    if (bucketed)
-      // co-locate each bucket into one task before the partitioned write:
-      // without it every task writes a file per bucket value it holds
-      // (#tasks × #buckets files per merge — file-count rot at scale);
-      // with it a bucket is one file (modulo benign hash collisions)
-      df.repartition(col("__bucket"))
-        .write.mode("overwrite").partitionBy("__bucket").parquet(dataDir.toString)
+    val sliced = df.columns.contains("__slice")
+    if (sliced)
+      // co-locate each slice into one task before the partitioned write:
+      // without it every task writes a file per slice value it holds
+      // (#tasks × #slices files per merge — file-count rot at scale);
+      // with it a slice is one file
+      df.repartition(col("__slice"))
+        .write.mode("overwrite").partitionBy("__slice").parquet(dataDir.toString)
     else
       df.write.mode("overwrite").parquet(dataDir.toString)
-    val dataCols = df.columns.filterNot(_ == "__bucket").toSeq
+    val dataCols = df.columns.filterNot(_ == "__slice").toSeq
     val ls = Files.list(dataDir)
     val hasData = try ls.iterator().asScala.exists(p =>
       p.toString.endsWith(".parquet") || Files.isDirectory(p)) finally ls.close()
@@ -131,23 +206,19 @@ object Icelite {
   }
 
   /** The commit section: id allocation + manifest + pointer swap, serialized
-    * by an OS file lock so two concurrent committers can neither compute the
-    * same id nor drop each other's committed snapshot (on an object store
-    * this whole section maps to a conditional PUT of the pointer).
+    * by [[withTableLock]] so two concurrent committers can neither compute
+    * the same id nor drop each other's committed snapshot.
     * `expectedBase`: when Some(base), commit only if the current snapshot id
     * still equals `base` (optimistic concurrency for [[merge]]) — returns
     * None on a lost race so the caller can recompute from the new base.
     * Manifests are written CREATE_NEW: ids never overwrite.
     */
   private def commitEntries(table: String, uuid: String, entries: Seq[FileEntry],
-                            inputFingerprint: String, nBuckets: Int,
+                            inputFingerprint: String, nBuckets: Int, bucketSpec: String,
                             expectedBase: Option[Option[Long]]): Option[Snapshot] = {
     Files.createDirectories(metaDir(table))
     val rowCount = entries.map(_.rows).sum
-    val lockCh = FileChannel.open(Paths.get(table, "_LOCK"),
-      StandardOpenOption.CREATE, StandardOpenOption.WRITE)
-    val lock = lockCh.lock()
-    try {
+    withTableLock(table) {
       val cur = currentSnapshotId(table)
       expectedBase match {
         case Some(base) if base != cur => return None // lost the race
@@ -156,7 +227,8 @@ object Icelite {
       var id = cur.getOrElse(0L) + 1
       var written = false
       while (!written) {
-        val manifest = manifestJson(id, uuid, rowCount, inputFingerprint, nBuckets, entries)
+        val manifest = manifestJson(id, uuid, rowCount, inputFingerprint, nBuckets,
+          bucketSpec, entries)
         try {
           Files.writeString(metaDir(table).resolve(s"snapshot-$id.json"),
             manifest, StandardOpenOption.CREATE_NEW)
@@ -170,9 +242,7 @@ object Icelite {
       Files.writeString(tmp, id.toString)
       Files.move(tmp, currentPtr(table), StandardCopyOption.ATOMIC_MOVE,
         StandardCopyOption.REPLACE_EXISTING)
-      Some(Snapshot(id, uuid, entries, rowCount, inputFingerprint, nBuckets))
-    } finally {
-      lock.release(); lockCh.close()
+      Some(Snapshot(id, uuid, entries, rowCount, inputFingerprint, nBuckets, bucketSpec))
     }
   }
 
@@ -182,19 +252,61 @@ object Icelite {
   def commit(spark: SparkSession, df: DataFrame, table: String,
              inputFingerprint: String = ""): Snapshot = {
     val (uuid, entries) = writeData(spark, df, table)
-    commitEntries(table, uuid, entries, inputFingerprint, 0, None).get
+    commitEntries(table, uuid, entries, inputFingerprint, 0, "", None).get
   }
 
   private def manifestJson(id: Long, uuid: String, rowCount: Long,
-                           inputFingerprint: String, nBuckets: Int,
+                           inputFingerprint: String, nBuckets: Int, bucketSpec: String,
                            entries: Seq[FileEntry]): String = {
     val fileArr = entries.map(f =>
-      s"""{"path":"${f.path}","bucket":${f.bucket},"rows":${f.rows},"checksum":${f.checksum}}""")
+      s"""{"path":"${f.path}","mod":${f.mod},"res":${f.res},"rows":${f.rows},"checksum":${f.checksum}}""")
       .mkString("[", ",", "]")
     s"""{"id":$id,"uuid":"$uuid","rowCount":$rowCount,
        |"inputFingerprint":"$inputFingerprint",
        |"nBuckets":$nBuckets,
+       |"bucketSpec":"$bucketSpec",
        |"files":$fileArr}""".stripMargin
+  }
+
+  /** Smallest `base · 2^d` with `est / it ≤ maxRows` — the modulus for a
+    * rewrite of ~`est` rows spread UNIFORMLY over hash space. */
+  private def uniformModulus(base: Int, est: Long, maxRows: Long): Int = {
+    var m = math.max(1, base)
+    while (est / m > maxRows) m *= 2
+    m
+  }
+
+  /** Smallest `baseMod · 2^j` at which a file of `rows` rows CONCENTRATED in
+    * one baseMod-residue splits below `maxRows` per output file (each
+    * doubling of the modulus halves the file's rows). */
+  private def concentratedModulus(baseMod: Int, rows: Long, maxRows: Long): Int = {
+    var m = math.max(1, baseMod)
+    var perFile = rows
+    while (perFile > maxRows) { m *= 2; perFile = (perFile + 1) / 2 }
+    m
+  }
+
+  /** The file indices of `files` whose hash-slice claim intersects the
+    * incoming batch (plus every unsliced file — no claim to prune on).
+    * One distributed aggregation: the batch's distinct (mod, res) residues
+    * per distinct modulus, equi-joined against the (small) file-entry list —
+    * the collected result is ≤ #files rows, never #batch rows.
+    */
+  private def touchedFiles(spark: SparkSession, incoming: DataFrame,
+                           files: Seq[FileEntry]): Set[Int] = {
+    val mods = files.map(_.mod).filter(_ > 0).distinct
+    val unsliced = files.zipWithIndex.collect { case (f, i) if f.mod == 0 => i }.toSet
+    if (mods.isEmpty) return unsliced
+    import spark.implicits._
+    val pairs = incoming.select(explode(array(mods.map(m =>
+        struct(lit(m).as("m"), pmod(col("__h"), lit(m)).as("r"))): _*)).as("p"))
+      .select(col("p.m").as("m"), col("p.r").as("r")).distinct()
+    val fileDf = files.zipWithIndex
+      .collect { case (f, i) if f.mod > 0 => (f.mod, f.res, i) }
+      .toDF("m", "r", "idx")
+    val hit = pairs.join(fileDf, Seq("m", "r")).select("idx")
+      .collect().map(_.getInt(0)).toSet
+    unsliced ++ hit
   }
 
   /** S17 — MERGE-style idempotent upsert commit (the snapshot-table analog of
@@ -203,77 +315,178 @@ object Icelite {
     * batch on its primary key, drop current-snapshot rows whose PK collides
     * (incoming wins — DO UPDATE), union, and commit as the next snapshot.
     *
-    * O(batch), not O(table): data files are hash-bucketed by PK
-    * (`pmod(hash(pk…), nBuckets)` → `__bucket=<b>` directories). A merge
-    * rewrites ONLY the buckets the incoming batch touches; every other
-    * file entry is carried into the new manifest verbatim (path + lineage),
-    * exactly like Iceberg merge-on-read compaction carries untouched data
-    * files. The reference's `ON CONFLICT` touches only conflicting rows;
-    * at 100 TB a daily metadata upsert must not rewrite 100 TB.
+    * O(batch) in BOTH IO and file size: data files carry hash-slice claims
+    * (see object scaladoc), so the merge reads and rewrites ONLY the files
+    * whose claim intersects the batch's PK hashes; every other file entry is
+    * carried into the new manifest verbatim (path + lineage), exactly like
+    * Iceberg carries untouched data files. The rewrite is written at a
+    * modulus `nBuckets · 2^d` sized so no output file exceeds
+    * `maxRowsPerFile` — slices refine as the table grows instead of fattening
+    * a fixed bucket (the reference's `ON CONFLICT` touches only conflicting
+    * rows; at 100 TB a daily metadata upsert must not rewrite 100 TB, nor
+    * leave 3 TB files behind).
     *
     * Idempotent: re-running the same merge converges to the same row set
     * (modulo snapshot id), and a crash before the pointer swap leaves the
     * previous snapshot intact. Concurrency-safe: the row set is computed
     * against a base snapshot and committed only if that base is still
-    * current (checked under the commit lock); a lost race recomputes from
+    * current (checked under the table lock); a lost race recomputes from
     * the winner's snapshot instead of silently dropping its upserts.
     *
-    * `nBuckets` fixes the bucket layout at table creation; merging with a
-    * different value triggers a one-time full re-bucketing rewrite.
+    * The slice hash is over `pkCols` in order; the spec is persisted in the
+    * manifest and checked — merging with different PK columns (or a
+    * different `nBuckets` base, or onto an unsliced [[commit]] snapshot)
+    * takes a one-time full re-slicing rewrite rather than trusting claims
+    * computed under a different key.
     */
   def merge(spark: SparkSession, df: DataFrame, table: String,
             pkCols: Seq[String], inputFingerprint: String = "",
-            nBuckets: Int = 32): Snapshot = {
-    require(!df.columns.contains("__bucket"), "__bucket is a reserved column")
-    val bucketOf = pmod(hash(pkCols.map(col): _*), lit(nBuckets))
-    val incoming = df.dropDuplicates(pkCols).withColumn("__bucket", bucketOf)
-      .localCheckpoint() // the batch is re-scanned per attempt; pin it
-    val touched = incoming.select("__bucket").distinct()
-      .collect().map(_.getInt(0)).toSet // ≤ nBuckets values — driver-safe
+            nBuckets: Int = 32, maxRowsPerFile: Long = DefaultMaxRowsPerFile): Snapshot = {
+    require(!df.columns.contains("__slice") && !df.columns.contains("__h"),
+      "__slice and __h are reserved columns")
+    val spec = pkCols.mkString(",")
+    val hcol = pmod(hash(pkCols.map(col): _*), lit(Int.MaxValue))
+    // the batch is re-scanned per attempt (and per touched-slice probe); pin it
+    val incoming = df.dropDuplicates(pkCols).withColumn("__h", hcol).localCheckpoint()
+    try {
+      val nIncoming = incoming.count()
+      var attempt = 0
+      while (attempt < 8) {
+        attempt += 1
+        val baseId = currentSnapshotId(table)
+        val (carried, toMerge, estRows, atLeastMod): (Seq[FileEntry], DataFrame, Long, Int) =
+          baseId match {
+            case None => (Seq.empty, incoming, nIncoming, 1)
+            case Some(id) =>
+              val base = readManifest(table, id)
+              if (base.files.isEmpty) {
+                // zero-file base (a committed empty frame): nothing to carry
+                (Seq.empty, incoming, nIncoming, 1)
+              } else if (base.bucketSpec == spec && base.nBuckets == nBuckets) {
+                // slice-granular path: rewrite only claim-intersecting files
+                val touched = touchedFiles(spark, incoming, base.files)
+                val (hotIdx, carryIdx) = base.files.indices.partition(touched)
+                val hot = hotIdx.map(base.files)
+                val carry = carryIdx.map(base.files)
+                val merged =
+                  if (hot.isEmpty) incoming
+                  else spark.read.parquet(hot.map(_.path): _*)
+                    .join(incoming.select(pkCols.map(col): _*).distinct(), pkCols, "left_anti")
+                    .withColumn("__h", hcol)
+                    .unionByName(incoming)
+                // a hot slice's surviving rows stay concentrated in its
+                // claim region (m/f.mod residues of the output modulus), so
+                // the output must be at least each hot file's concentrated
+                // split point — the uniform estimate alone would leave a
+                // fat slice's rows in one oversized output file
+                val hotFloor = (1 +: hot.map(f =>
+                  concentratedModulus(f.mod, f.rows, maxRowsPerFile))).max
+                (carry, merged, hot.map(_.rows).sum + nIncoming, hotFloor)
+              } else {
+                // PK-spec / bucket-base change, or unsliced commit() snapshot:
+                // claims computed under a different key are untrustworthy —
+                // full re-slicing rewrite
+                val all = spark.read.parquet(base.filePaths: _*)
+                  .join(incoming.select(pkCols.map(col): _*).distinct(), pkCols, "left_anti")
+                  .withColumn("__h", hcol)
+                  .unionByName(incoming)
+                (Seq.empty, all, base.rowCount + nIncoming, 1)
+              }
+          }
+        // output modulus: nBuckets·2^d sized to the rewrite set (not the
+        // table), floored at every hot file's concentrated split point; the
+        // bound is approximate (hot + uniform parts can stack to ~2×) —
+        // [[compact]] enforces it strictly
+        val m = math.max(uniformModulus(nBuckets, estRows, maxRowsPerFile), atLeastMod)
+        val sliced = toMerge
+          .withColumn("__slice", concat_ws("_", lit(m), pmod(col("__h"), lit(m))))
+          // a USING join puts the key columns first — restore the caller's
+          // column order so every data file shares one schema layout
+          .select(df.columns.map(col) :+ col("__slice"): _*)
+        // safe to stream from the current snapshot: data is written to a fresh
+        // uuid dir, so the plan's input files are never overwritten mid-scan
+        val (uuid, newEntries) = writeData(spark, sliced, table)
+        commitEntries(table, uuid, carried ++ newEntries, inputFingerprint,
+          nBuckets, spec, Some(baseId)) match {
+          case Some(snap) => return snap
+          case None => // base advanced under us: drop the orphan write, recompute
+            deleteRecursively(Paths.get(table, "data", uuid))
+        }
+      }
+      throw new IllegalStateException(s"merge on $table lost 8 commit races")
+    } finally freeLocalCheckpoint(incoming)
+  }
 
+  /** Maintenance: rewrite data files violating the size bound — split files
+    * over `maxRowsPerFile` to a finer slice modulus, and coalesce sibling
+    * slice pairs ((2p, r), (2p, r+p)) whose combined rows fit in half the
+    * bound back to their parent (p, r) (shrink-deletes leave slivers).
+    * Untouched files carry verbatim; the commit is optimistic against
+    * concurrent merges. Returns (filesRewritten, filesInNewSnapshot) —
+    * (0, current file count) when nothing violates the bound.
+    *
+    * The Iceberg `rewrite_data_files` analog; at 100 TB this runs as a
+    * background job and each group rewrite is an independent bounded task.
+    */
+  def compact(spark: SparkSession, table: String,
+              maxRowsPerFile: Long = DefaultMaxRowsPerFile): (Int, Int) = {
+    // iterate to a fixed point: one split pass halves an oversized file's
+    // rows at least once but hash skew can leave a residue still over the
+    // bound, and sibling coalescing may enable further coalescing a level
+    // up. Terminates: splits strictly shrink per-file rows, coalesces
+    // strictly shrink the modulus (floored at nBuckets), and a split's
+    // children can never re-coalesce (their sum exceeds the bound).
+    var total = 0
+    var last = compactPass(spark, table, maxRowsPerFile)
+    while (last._1 > 0) {
+      total += last._1
+      last = compactPass(spark, table, maxRowsPerFile)
+    }
+    (total, last._2)
+  }
+
+  private def compactPass(spark: SparkSession, table: String,
+                          maxRowsPerFile: Long): (Int, Int) = {
     var attempt = 0
     while (attempt < 8) {
       attempt += 1
-      val baseId = currentSnapshotId(table)
-      val (carried, toMerge): (Seq[FileEntry], DataFrame) = baseId match {
-        case None => (Seq.empty, incoming)
-        case Some(id) =>
-          val base = readManifest(table, id)
-          if (base.nBuckets == nBuckets) {
-            val carry = base.files.filterNot(f => touched(f.bucket))
-            val hot = base.files.filter(f => touched(f.bucket))
-            val baseRows =
-              if (hot.isEmpty) None
-              else Some(spark.read.parquet(hot.map(_.path): _*).withColumn("__bucket", bucketOf))
-            val merged = baseRows match {
-              case Some(b) => b
-                .join(incoming.select(pkCols.map(col): _*).distinct(), pkCols, "left_anti")
-                .unionByName(incoming)
-              case None => incoming
-            }
-            (carry, merged)
-          } else if (base.files.isEmpty) {
-            // zero-file base (a committed empty frame): nothing to carry
-            (Seq.empty, incoming)
-          } else {
-            // bucket-layout change (or legacy unbucketed snapshot): full rewrite
-            val all = spark.read.parquet(base.filePaths: _*).withColumn("__bucket", bucketOf)
-              .join(incoming.select(pkCols.map(col): _*).distinct(), pkCols, "left_anti")
-              .unionByName(incoming)
-            (Seq.empty, all)
-          }
-      }
-      // safe to stream from the current snapshot: data is written to a fresh
-      // uuid dir, so the plan's input files are never overwritten mid-scan
-      val (uuid, newEntries) = writeData(spark, toMerge, table)
-      commitEntries(table, uuid, carried ++ newEntries, inputFingerprint,
-        nBuckets, Some(baseId)) match {
-        case Some(snap) => return snap
-        case None => // base advanced under us: drop the orphan write, recompute
-          deleteRecursively(Paths.get(table, "data", uuid))
+      val baseId = currentSnapshotId(table).getOrElse(return (0, 0))
+      val base = readManifest(table, baseId)
+      if (base.bucketSpec.isEmpty)
+        throw new IllegalStateException(
+          s"compact($table): table has no PK slice spec (written by commit(), " +
+            "not merge()) — re-slice it with a merge first")
+      val pkCols = base.bucketSpec.split(",").toSeq
+      val hcol = pmod(hash(pkCols.map(col): _*), lit(Int.MaxValue))
+      val baseM = math.max(1, base.nBuckets)
+
+      val oversized = base.files.filter(_.rows > maxRowsPerFile)
+      val smallSiblings: Seq[Seq[FileEntry]] = base.files
+        .filter(f => f.mod > baseM && f.mod % 2 == 0 && f.rows <= maxRowsPerFile)
+        .groupBy(f => (f.mod, f.res % (f.mod / 2)))
+        .values.toSeq
+        .filter(g => g.size == 2 && g.map(_.rows).sum <= maxRowsPerFile / 2)
+      val groups: Seq[(Seq[FileEntry], Int)] =
+        oversized.map(f => (Seq(f), concentratedModulus(f.mod, f.rows, maxRowsPerFile))) ++
+          smallSiblings.map(g => (g, g.head.mod / 2))
+      if (groups.isEmpty) return (0, base.files.size)
+
+      val rewriting = groups.flatMap(_._1).map(_.path).toSet
+      val carried = base.files.filterNot(f => rewriting(f.path))
+      val rewritten = groups.map { case (fs, target) =>
+        spark.read.parquet(fs.map(_.path): _*)
+          .withColumn("__h", hcol)
+          .withColumn("__slice", concat_ws("_", lit(target), pmod(col("__h"), lit(target))))
+          .drop("__h")
+      }.reduce(_ unionByName _)
+      val (uuid, newEntries) = writeData(spark, rewritten, table)
+      commitEntries(table, uuid, carried ++ newEntries, base.inputFingerprint,
+        base.nBuckets, base.bucketSpec, Some(Some(baseId))) match {
+        case Some(snap) => return (rewriting.size, snap.files.size)
+        case None => deleteRecursively(Paths.get(table, "data", uuid))
       }
     }
-    throw new IllegalStateException(s"merge on $table lost ${attempt} commit races")
+    throw new IllegalStateException(s"compact on $table lost 8 commit races")
   }
 
   /** Read the current snapshot's rows (only manifest-listed files — uncommitted
@@ -333,53 +546,67 @@ object Icelite {
   }
 
   /** Iceberg `expire_snapshots` analog: keep the newest `retain` snapshot
-    * manifests, delete older manifests, then garbage-collect every data file
-    * (and empty dir) no retained manifest references — including orphans
-    * from crashed commits and lost merge races. Maintenance operation: must
-    * not run concurrently with an in-flight writer (a fresh uuid dir whose
-    * manifest is not yet written would look orphaned — the standard Iceberg
-    * caveat). Returns (manifests deleted, data files deleted).
+    * manifests, delete older manifests, then garbage-collect data files no
+    * retained manifest references. Runs under the same table lock as the
+    * commit section, so it can never interleave with a pointer swap or
+    * manifest write. Files referenced by the just-expired manifests are
+    * known-dead and deleted unconditionally; UNKNOWN orphans (a data dir
+    * with no manifest — possibly an in-flight writer that has not committed
+    * yet) are deleted only once older than `orphanGraceMs`, which closes
+    * the classic expire-vs-writer race without coordinating with writers.
+    * Returns (manifests deleted, data files deleted).
     */
-  def expireSnapshots(table: String, retain: Int = 2): (Int, Int) = {
+  def expireSnapshots(table: String, retain: Int = 2,
+                      orphanGraceMs: Long = 3600000L): (Int, Int) = {
     require(retain >= 1, "must retain at least the current snapshot")
-    val cur = currentSnapshotId(table).getOrElse(return (0, 0))
-    val manifestRe = """snapshot-(\d+)\.json""".r
-    val metaLs = Files.list(metaDir(table))
-    val ids = try metaLs.iterator().asScala
-      .flatMap(p => manifestRe.findFirstMatchIn(p.getFileName.toString).map(_.group(1).toLong))
-      .toSeq.sorted
-      finally metaLs.close()
-    val (expired, kept) = ids.partition(_ <= cur - retain)
-    // canonicalize BOTH sides: manifest paths come from input_file_name()
-    // (absolute, normalized) while the walk below is prefixed by however the
-    // caller spelled `table` — a raw-string compare on a relative table path
-    // would see every live file as unreferenced and GC the whole table
-    def canon(p: Path): String = p.toAbsolutePath.normalize.toString
-    val referenced: Set[String] =
-      kept.flatMap(id => readManifest(table, id).filePaths)
-        .map(f => canon(Paths.get(f))).toSet
-    expired.foreach(id => Files.delete(metaDir(table).resolve(s"snapshot-$id.json")))
-    // GC: delete unreferenced files under data/, then prune empty dirs
-    val dataRoot = Paths.get(table, "data")
-    var deleted = 0
-    if (Files.isDirectory(dataRoot)) {
-      // keep a referenced file's Hadoop .crc sidecar; _SUCCESS markers and
-      // everything else unreferenced goes
-      def keep(p: Path): Boolean = {
-        val name = p.getFileName.toString
-        referenced.contains(canon(p)) ||
-          (name.startsWith(".") && name.endsWith(".crc") &&
-            referenced.contains(canon(p.getParent.resolve(name.drop(1).dropRight(4)))))
-      }
-      val walk = Files.walk(dataRoot)
-      try {
-        walk.iterator().asScala.filter(Files.isRegularFile(_)).toSeq.foreach { p =>
-          if (!keep(p)) { Files.delete(p); deleted += 1 }
+    if (currentSnapshotId(table).isEmpty) return (0, 0)
+    withTableLock(table) {
+      val cur = currentSnapshotId(table).getOrElse(return (0, 0))
+      val manifestRe = """snapshot-(\d+)\.json""".r
+      val metaLs = Files.list(metaDir(table))
+      val ids = try metaLs.iterator().asScala
+        .flatMap(p => manifestRe.findFirstMatchIn(p.getFileName.toString).map(_.group(1).toLong))
+        .toSeq.sorted
+        finally metaLs.close()
+      val (expired, kept) = ids.partition(_ <= cur - retain)
+      // canonicalize BOTH sides: manifest paths come from input_file_name()
+      // (absolute, normalized) while the walk below is prefixed by however the
+      // caller spelled `table` — a raw-string compare on a relative table path
+      // would see every live file as unreferenced and GC the whole table
+      def canon(p: Path): String = p.toAbsolutePath.normalize.toString
+      val referenced: Set[String] =
+        kept.flatMap(id => readManifest(table, id).filePaths)
+          .map(f => canon(Paths.get(f))).toSet
+      val knownDead: Set[String] =
+        expired.flatMap(id => readManifest(table, id).filePaths)
+          .map(f => canon(Paths.get(f))).toSet -- referenced
+      expired.foreach(id => Files.delete(metaDir(table).resolve(s"snapshot-$id.json")))
+      // GC: delete unreferenced files under data/, then prune empty dirs
+      val dataRoot = Paths.get(table, "data")
+      var deleted = 0
+      if (Files.isDirectory(dataRoot)) {
+        // a .crc sidecar follows its data file's fate
+        def inSet(s: Set[String])(p: Path): Boolean = {
+          val name = p.getFileName.toString
+          s.contains(canon(p)) ||
+            (name.startsWith(".") && name.endsWith(".crc") &&
+              s.contains(canon(p.getParent.resolve(name.drop(1).dropRight(4)))))
         }
-      } finally walk.close()
-      pruneEmptyDirs(dataRoot)
+        val now = System.currentTimeMillis()
+        val walk = Files.walk(dataRoot)
+        try {
+          walk.iterator().asScala.filter(Files.isRegularFile(_)).toSeq.foreach { p =>
+            if (!inSet(referenced)(p)) {
+              val dead = inSet(knownDead)(p) ||
+                now - Files.getLastModifiedTime(p).toMillis > orphanGraceMs
+              if (dead) { Files.delete(p); deleted += 1 }
+            }
+          }
+        } finally walk.close()
+        pruneEmptyDirs(dataRoot)
+      }
+      (expired.size, deleted)
     }
-    (expired.size, deleted)
   }
 
   private def pruneEmptyDirs(root: Path): Unit = {

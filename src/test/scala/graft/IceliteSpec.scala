@@ -1,6 +1,7 @@
 package graft
 
 import java.nio.file.{Files, Paths}
+import scala.jdk.CollectionConverters._
 import org.apache.spark.sql.functions._
 import graft.table.{Icelite, Pipeline}
 import graft.jobs.IndexJob
@@ -135,41 +136,148 @@ class IceliteSpec extends SparkSpec {
       === Set((1L, "a"), (9L, "g2")))
   }
 
-  test("merge rewrites only touched buckets; untouched files carry verbatim (O(batch))") {
+  test("merge rewrites only claim-intersecting slices; untouched files carry byte-identical (O(batch))") {
     val t = tmpDir() + "/m5"
     val big = (1 to 1000).map(i => (i.toLong, s"v$i")).toDF("id", "v")
     Icelite.merge(spark, big, t, Seq("id"), nBuckets = 16)
     val s1 = Icelite.readManifest(t, Icelite.currentSnapshotId(t).get)
     assert(s1.nBuckets === 16)
-    assert(s1.files.map(_.bucket).distinct.sorted === (0 until 16))
-    // single-row upsert touches exactly one bucket
+    assert(s1.bucketSpec === "id")
+    assert(s1.files.map(f => (f.mod, f.res)).sorted === (0 until 16).map((16, _)))
+    // snapshot every file's bytes before the upsert
+    val bytesBefore = s1.files.map(f => f.path ->
+      java.security.MessageDigest.getInstance("MD5").digest(Files.readAllBytes(Paths.get(f.path))).toSeq).toMap
+    // single-row upsert touches exactly one slice
     Icelite.merge(spark, Seq((5L, "V5")).toDF("id", "v"), t, Seq("id"), nBuckets = 16)
     val s2 = Icelite.readManifest(t, Icelite.currentSnapshotId(t).get)
-    // every file of every untouched bucket is carried with IDENTICAL path +
-    // lineage (immutable files: same path = same bytes)
     val replaced = s1.files.toSet -- s2.files.toSet
-    val replacedBuckets = replaced.map(_.bucket)
-    assert(replacedBuckets.size === 1, s"one bucket must be rewritten, got $replacedBuckets")
-    assert(s1.files.filterNot(f => replacedBuckets(f.bucket)).toSet
-      .subsetOf(s2.files.toSet), "untouched buckets' file entries must carry verbatim")
-    assert((s2.files.toSet -- s1.files.toSet).forall(f => replacedBuckets(f.bucket)),
-      "new files may only land in the touched bucket")
+    val replacedSlices = replaced.map(f => (f.mod, f.res))
+    assert(replacedSlices.size === 1, s"one slice must be rewritten, got $replacedSlices")
+    assert(s1.files.filterNot(f => replacedSlices((f.mod, f.res))).toSet
+      .subsetOf(s2.files.toSet), "untouched slices' file entries must carry verbatim")
+    assert((s2.files.toSet -- s1.files.toSet).forall(f => replacedSlices((f.mod, f.res))),
+      "new files may only land in the touched slice")
+    // carried files are BYTE-identical, not just same-path (immutability)
+    s2.files.filter(f => bytesBefore.contains(f.path)).foreach { f =>
+      val now = java.security.MessageDigest.getInstance("MD5")
+        .digest(Files.readAllBytes(Paths.get(f.path))).toSeq
+      assert(now === bytesBefore(f.path), s"carried file mutated: ${f.path}")
+    }
     // content + lineage still correct
     val got = Icelite.read(spark, t).as[(Long, String)].collect().toSet
     assert(got === (1 to 1000).map(i => (i.toLong, if (i == 5) "V5" else s"v$i")).toSet)
     assert(Icelite.verifyLineage(spark, t))
   }
 
-  test("merge writes one file per bucket (no file-count rot across merges)") {
+  test("merge writes one file per slice (no file-count rot across merges)") {
     val t = tmpDir() + "/m7"
     val big = (1 to 1000).map(i => (i.toLong, s"v$i")).toDF("id", "v")
     Icelite.merge(spark, big, t, Seq("id"), nBuckets = 8)
     val s1 = Icelite.readManifest(t, Icelite.currentSnapshotId(t).get)
-    assert(s1.files.groupBy(_.bucket).forall(_._2.size == 1),
-      s"one file per bucket expected, got ${s1.files.groupBy(_.bucket).view.mapValues(_.size).toMap}")
+    assert(s1.files.groupBy(f => (f.mod, f.res)).forall(_._2.size == 1),
+      s"one file per slice expected, got ${s1.files.groupBy(f => (f.mod, f.res)).view.mapValues(_.size).toMap}")
     Icelite.merge(spark, Seq((3L, "x"), (4L, "y")).toDF("id", "v"), t, Seq("id"), nBuckets = 8)
     val s2 = Icelite.readManifest(t, Icelite.currentSnapshotId(t).get)
-    assert(s2.files.groupBy(_.bucket).forall(_._2.size == 1))
+    assert(s2.files.groupBy(f => (f.mod, f.res)).forall(_._2.size == 1))
+  }
+
+  test("merge splits output past maxRowsPerFile; buckets never grow unbounded") {
+    val t = tmpDir() + "/m8"
+    val big = (1 to 1000).map(i => (i.toLong, s"v$i")).toDF("id", "v")
+    Icelite.merge(spark, big, t, Seq("id"), nBuckets = 4, maxRowsPerFile = 50)
+    val s1 = Icelite.readManifest(t, Icelite.currentSnapshotId(t).get)
+    assert(s1.files.forall(_.rows <= 50),
+      s"file over bound: ${s1.files.filter(_.rows > 50).map(f => (f.mod, f.res, f.rows))}")
+    assert(s1.files.forall(_.mod > 4), "1000 rows over 4 buckets must refine the modulus")
+    // a small follow-up merge rewrites only intersecting slices, still bounded
+    Icelite.merge(spark, Seq((7L, "X")).toDF("id", "v"), t, Seq("id"),
+      nBuckets = 4, maxRowsPerFile = 50)
+    val s2 = Icelite.readManifest(t, Icelite.currentSnapshotId(t).get)
+    assert(s2.files.forall(_.rows <= 50))
+    assert((s1.files.toSet -- s2.files.toSet).size <= 2, "small batch must not rewrite the table")
+    val got = Icelite.read(spark, t).as[(Long, String)].collect().toSet
+    assert(got === (1 to 1000).map(i => (i.toLong, if (i == 7) "X" else s"v$i")).toSet)
+    assert(Icelite.verifyLineage(spark, t))
+  }
+
+  test("compact splits oversized files and coalesces sliver siblings; content intact") {
+    val t = tmpDir() + "/c1"
+    val big = (1 to 1000).map(i => (i.toLong, s"v$i")).toDF("id", "v")
+    // write fat files (bound effectively off), then tighten the bound
+    Icelite.merge(spark, big, t, Seq("id"), nBuckets = 4)
+    val s1 = Icelite.readManifest(t, Icelite.currentSnapshotId(t).get)
+    assert(s1.files.exists(_.rows > 50))
+    val (rewritten, filesAfter) = Icelite.compact(spark, t, maxRowsPerFile = 50)
+    assert(rewritten >= s1.files.count(_.rows > 50))
+    val s2 = Icelite.readManifest(t, Icelite.currentSnapshotId(t).get)
+    assert(s2.files.size === filesAfter)
+    assert(s2.files.forall(_.rows <= 50),
+      s"file over bound after compact: ${s2.files.filter(_.rows > 50).map(f => (f.mod, f.res, f.rows))}")
+    assert(Icelite.read(spark, t).as[(Long, String)].collect().toSet
+      === (1 to 1000).map(i => (i.toLong, s"v$i")).toSet)
+    assert(Icelite.verifyLineage(spark, t))
+    // idempotent: a second compact at the same bound is a no-op
+    val (r2, _) = Icelite.compact(spark, t, maxRowsPerFile = 50)
+    assert(r2 === 0)
+    // relaxing the bound lets compact coalesce fine sibling slices back up
+    val (r3, f3) = Icelite.compact(spark, t, maxRowsPerFile = 100000)
+    assert(r3 > 0, "sliver siblings must coalesce under a loose bound")
+    assert(f3 < s2.files.size)
+    assert(Icelite.read(spark, t).as[(Long, String)].collect().toSet
+      === (1 to 1000).map(i => (i.toLong, s"v$i")).toSet)
+    assert(Icelite.verifyLineage(spark, t))
+  }
+
+  test("merge with a different PK spec refuses stale claims (full re-slice, no dup PKs)") {
+    val t = tmpDir() + "/spec1"
+    Icelite.merge(spark, Seq((1L, "a"), (2L, "b")).toDF("id", "v"), t, Seq("id"))
+    // same table, different key columns: claims hashed under "id" are
+    // untrustworthy for key (v,id) — must full-rewrite, not carry
+    Icelite.merge(spark, Seq((2L, "b"), (3L, "c")).toDF("id", "v"), t, Seq("v", "id"))
+    val s = Icelite.readManifest(t, Icelite.currentSnapshotId(t).get)
+    assert(s.bucketSpec === "v,id")
+    val got = Icelite.read(spark, t).as[(Long, String)].collect().toSet
+    assert(got === Set((1L, "a"), (2L, "b"), (3L, "c")), "no duplicate/stale PK rows")
+    assert(Icelite.verifyLineage(spark, t))
+  }
+
+  test("unsupported legacy manifest fails loudly instead of reading as empty") {
+    val t = tmpDir() + "/legacy1"
+    Icelite.merge(spark, Seq((1L, "a")).toDF("id", "v"), t, Seq("id"))
+    // overwrite the manifest with a pre-round-3 shape: rows claimed, but
+    // files as a plain string array no parser accepts
+    val manifest = Paths.get(t, "meta", "snapshot-1.json")
+    Files.writeString(manifest,
+      """{"id":1,"uuid":"u","rowCount":1,"inputFingerprint":"","partitions":[[0,1]],
+        |"files":["/some/old/file.parquet"]}""".stripMargin)
+    val ex = intercept[IllegalStateException](Icelite.read(spark, t))
+    assert(ex.getMessage.contains("unsupported/corrupt manifest"))
+  }
+
+  test("concurrent merge and expire are serialized; no lost rows, no GC'd live files") {
+    val t = tmpDir() + "/conc1"
+    Icelite.merge(spark, Seq((0L, "seed")).toDF("id", "v"), t, Seq("id"))
+    val errs = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+    val merger = new Thread(() => {
+      try (1 to 6).foreach { i =>
+        Icelite.merge(spark, Seq((i.toLong, s"m$i")).toDF("id", "v"), t, Seq("id"))
+      } catch { case e: Throwable => errs.add(e) }
+    })
+    val expirer = new Thread(() => {
+      try (1 to 6).foreach { _ =>
+        Icelite.expireSnapshots(t, retain = 1) // default grace spares in-flight writes
+        Thread.sleep(5)
+      } catch { case e: Throwable => errs.add(e) }
+    })
+    merger.start(); expirer.start(); merger.join(); expirer.join()
+    assert(errs.isEmpty, s"concurrent merge/expire failed: ${errs.asScala.map(_.toString)}")
+    assert(Icelite.read(spark, t).as[(Long, String)].collect().toSet
+      === (0 to 6).map(i => (i.toLong, if (i == 0) "seed" else s"m$i")).toSet)
+    assert(Icelite.verifyLineage(spark, t))
+    // grace=0 after quiescence still GCs expired data
+    val (_, fDel) = Icelite.expireSnapshots(t, retain = 1, orphanGraceMs = 0L)
+    assert(fDel >= 0)
+    assert(Icelite.verifyLineage(spark, t))
   }
 
   test("time travel: readAt returns a retained old snapshot's rows") {
@@ -201,7 +309,9 @@ class IceliteSpec extends SparkSpec {
     // stray orphan from a crashed commit
     Seq((99L, "ghost")).toDF("id", "v").write.parquet(t + "/data/orphan-uuid")
     val before = Icelite.read(spark, t).as[(Long, String)].collect().toSet
-    val (mDel, fDel) = Icelite.expireSnapshots(t, retain = 1)
+    // grace = 0: the test's orphan is brand-new; production keeps the default
+    // grace so an in-flight writer's uncommitted dir survives GC
+    val (mDel, fDel) = Icelite.expireSnapshots(t, retain = 1, orphanGraceMs = 0L)
     assert(mDel === 2)
     assert(fDel > 0)
     assert(Icelite.read(spark, t).as[(Long, String)].collect().toSet === before)

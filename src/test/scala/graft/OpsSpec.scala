@@ -181,6 +181,22 @@ class OpsSpec extends SparkSpec {
     assert(level === 2)
   }
 
+  test("pickLevel escapes past the fixed candidate ceiling when every level <= 14 is ineligible") {
+    // 24 480 points: a 12x12 integer-millidegree grid x 170 copies. Cell
+    // sizes: level 14 ~ 11 mdeg (whole cluster in ~1 cell, occ ~ 24k),
+    // level 16 ~ 2.75 mdeg (up to 3x3 grid positions/cell -> occ ~ 1530 >
+    // 1024), level 18 ~ 0.69 mdeg (< 1 mdeg quantum -> occ = 170 dupes,
+    // eligible). The pre-round-4 ladder stopped at 14 and fell back to an
+    // ineligible level — the quadratic hot-cell case at the design point.
+    val dense = for {
+      x <- 0 until 12; y <- 0 until 12; c <- 0 until 170
+    } yield ((x * 12 + y) * 170L + c, 10000L + x, 20000L + y)
+    val pts = dense.toDF("id", "lonm", "latm")
+    val level = KnnJoin.pickLevel(pts, sampleFraction = 1.0)
+    assert(level > 14, s"pick must escape the fixed ladder, got $level")
+    assert(level <= graft.cells.Cells.MaxLevel)
+  }
+
   test("knnAuto picks the level itself and stays exact (entry-point wiring)") {
     val pts = Seq((1L, 10000L, 10000L), (2L, 10100L, 10000L), (3L, 50000L, 40000L))
       .toDF("id", "lonm", "latm").localCheckpoint()
