@@ -63,6 +63,14 @@ object SparkEntry {
     s"CASE WHEN $comps > 0 THEN ${1L << p} ELSE 0 END"
   }.mkString(" + ")
 
+  /** Band `b`'s key bits over `em` (mirrors Ann.pairBandKey). */
+  private def bandKeySql(b: Int): String = (0 until Ann.PairBandPlanes).map { j =>
+    val comps = (0 until Ann.Dim)
+      .map(d => s"em[${d + 1}] * (${Ann.planeComponent(100 + b * Ann.PairBandPlanes + j, d)})")
+      .mkString(" + ")
+    s"CASE WHEN $comps > 0 THEN ${1L << j} ELSE 0 END"
+  }.mkString(" + ")
+
   /** IVF CTE chain: per-vector centroid dots → argmax cell (lower index
     * wins ties) — mirrors Ann.ivfAssign. */
   private lazy val ivfCte: String = {
@@ -279,6 +287,12 @@ object SparkEntry {
     // the embedding analog of q_minhash_pairs; q_cosine_pairs is its brute twin)
     "q_lsh_pairs" -> ((s, dir) =>
       Ann.lshPairs(s.read.parquet(s"$dir/embeddings.parquet"), 0.2)),
+
+    // --- similarity: BANDED LSH near-dup pairs (b×r OR-of-ANDs — the recall
+    // knob over q_lsh_pairs' single signature; threshold at the fixture's
+    // near-dup tier, recall vs the brute twin measured in BENCH.md)
+    "q_lsh_pairs_banded" -> ((s, dir) =>
+      Ann.lshPairsBanded(s.read.parquet(s"$dir/embeddings.parquet"), 0.4)),
 
     // --- similarity: LSH bucket assignment (the scale path)
     "q_lsh_buckets" -> ((s, dir) =>
@@ -755,8 +769,86 @@ object SparkEntry {
       em.select(col("vec_id"),
         aggregate(scaled, lit(0L), (acc, v) => acc + coalesce(v, lit(0L))).as("band_sum"),
         size(filter(scaled, v => v.isNull)).cast("long").as("n_nodata"))
+    }),
+
+    // --- P10: generic URL template substitution — the reference's
+    // release_fileurl/release_s3url <placeholder> replace chain
+    // (index_setsm.py:1072-1091) as a codegen replace chain
+    "q_url_template" -> ((s, dir) => {
+      val o = s.read.parquet(s"$dir/orders.parquet")
+      val k = col("o_orderkey")
+      val tmpl = lit("https://data.example.org/<project>/<type>/<version>/<resolution>/<group>/<dem_id>.json")
+      val project = when(k % 3 === 0, "arcticdem").when(k % 3 === 1, "rema")
+        .otherwise("earthdem")
+      val version = concat(lit("s2s04"), (lit(1) + k % 2).cast("string"))
+      val res = when(k % 2 === 0, "2m").otherwise("50cm")
+      val grp = concat(lit("n"), lpad((k % 90).cast("string"), 2, "0"),
+        lit("w"), lpad((k % 180).cast("string"), 3, "0"))
+      val demId = concat(lit("SETSM_s2s041_WV01_"), k.cast("string"))
+      o.select(k.as("okey"),
+        graft.ops.UrlTemplate.fileUrl(tmpl, project, "strip", version, res, grp, demId)
+          .as("fileurl"),
+        graft.ops.UrlTemplate.s3Url(tmpl, project, "strip", version, res, grp, demId)
+          .as("s3url"))
+    }),
+
+    // --- S9 parser differential: reg.txt render → parse → fields
+    // (lib/dem.py:1126-1144); field values chosen /8, /4, /2, /16 so the
+    // double → string → double round trip is exact in binary
+    "q_reg_parse" -> ((s, dir) => {
+      val o = s.read.parquet(s"$dir/orders.parquet")
+      val k = col("o_orderkey")
+      val m = graft.parse.MetaParsers.regUdf(regText(k))
+      o.select(k.as("okey"),
+        try_element_at(m, lit("dz")).as("dz"),
+        try_element_at(m, lit("dx")).as("dx"),
+        try_element_at(m, lit("dy")).as("dy"),
+        try_element_at(m, lit("num_gcps")).cast("long").as("num_gcps"),
+        try_element_at(m, lit("mean_resid_z")).as("mean_resid_z"))
+    }),
+
+    // --- S9 → geometry: registration APPLY — the parsed translation vector
+    // shifts the geotransform origin / extent and the DEM values
+    // (apply_setsm_registration.py:182-258)
+    "q_reg_apply" -> ((s, dir) => {
+      val o = s.read.parquet(s"$dir/orders.parquet")
+      val k = col("o_orderkey")
+      val m = graft.parse.MetaParsers.regUdf(regText(k))
+      val ext = graft.ops.Registration.shiftedExtent(
+        (k % 360).cast("double") - 180.0, (k % 170).cast("double") - 85.0,
+        try_element_at(m, lit("dx")), try_element_at(m, lit("dy")),
+        (lit(1000) + k % 500).cast("double"), (lit(1200) + k % 400).cast("double"),
+        lit(2.0), lit(-2.0))
+      o.select(k.as("okey"),
+        ext.getField("minx").as("minx"), ext.getField("miny").as("miny"),
+        ext.getField("maxx").as("maxx"), ext.getField("maxy").as("maxy"),
+        graft.ops.Registration.shiftedZ((lit(100) + k % 50).cast("double"),
+          try_element_at(m, lit("dz"))).as("z_reg"))
+    }),
+
+    // --- S10: density cache THROUGH the snapshot layer — first call
+    // computes + commits, second call (same fingerprint) returns the
+    // committed snapshot; the skip itself is asserted in IceliteSpec, the
+    // round-tripped values are oracle-checked here
+    "q_density_cache" -> ((s, dir) => {
+      val pages = Pages.fromDocuments(s, dir)
+      val root = java.nio.file.Files.createTempDirectory("graft-density").toString
+      graft.ops.Tiling.densityCached(s, pages, root, s"pages:$dir")
+      graft.ops.Tiling.densityCached(s, pages, root, s"pages:$dir")
     })
   )
+
+  /** Rendered reg.txt body shared by q_reg_parse / q_reg_apply (field values
+    * exact in binary so render → parse round-trips bit-for-bit). */
+  private def regText(k: Column): Column = concat(
+    lit("SETSM registration\n"),
+    lit("Translation Vector (dz,dx,dy)(m)= "),
+    ((k % 19).cast("double") / 8.0 - 1.0).cast("string"), lit(", "),
+    ((k % 23).cast("double") / 4.0 - 2.0).cast("string"), lit(", "),
+    ((k % 17).cast("double") / 2.0 - 4.0).cast("string"), lit("\n"),
+    lit("Mean Vertical Residual (m)= "),
+    ((k % 13).cast("double") / 16.0).cast("string"), lit("\n"),
+    lit("# GCPs= "), (k % 40).cast("string"))
 
   // -------------------------------------------------------- oracle SQL
 
@@ -1017,6 +1109,18 @@ object SparkEntry {
          |FROM emn a JOIN emn b ON a.vec_id < b.vec_id
          |WHERE CAST(${dotSql("a.em", "b.em")} AS DOUBLE) /
          |      sqrt(CAST(a.n2 * b.n2 AS DOUBLE)) >= 0.2""".stripMargin, embCte),
+
+    "q_lsh_pairs_banded" -> withCtes(
+      s"""SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+         |       CAST(${dotSql("a.em", "b.em")} AS DOUBLE) /
+         |       sqrt(CAST(a.n2 * b.n2 AS DOUBLE)) AS cos_sim
+         |FROM bk a JOIN bk b ON a.vec_id < b.vec_id
+         |  AND (${(0 until Ann.PairBands).map(i => s"a.k$i = b.k$i").mkString(" OR ")})
+         |WHERE CAST(${dotSql("a.em", "b.em")} AS DOUBLE) /
+         |      sqrt(CAST(a.n2 * b.n2 AS DOUBLE)) >= 0.4""".stripMargin,
+      embCte,
+      s"bk AS (SELECT vec_id, em, n2, ${(0 until Ann.PairBands).map(i =>
+        s"CAST(${bandKeySql(i)} AS BIGINT) AS k$i").mkString(", ")} FROM emn)"),
 
     "q_lsh_buckets" -> {
       withCtes(s"SELECT vec_id, CAST($lshTermsSql AS BIGINT) AS bucket FROM emn", embCte)
@@ -1505,6 +1609,59 @@ object SparkEntry {
         |  CAST(len(list_filter(raw, v -> v = 0)) AS BIGINT) AS n_nodata
         |FROM (SELECT vec_id,
         |        list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS raw
-        |      FROM embeddings)""".stripMargin
+        |      FROM embeddings)""".stripMargin,
+
+    "q_url_template" ->
+      """WITH v AS (
+        |  SELECT o_orderkey,
+        |    'https://data.example.org/<project>/<type>/<version>/<resolution>/<group>/<dem_id>.json' AS tmpl,
+        |    CASE o_orderkey % 3 WHEN 0 THEN 'ArcticDEM' WHEN 1 THEN 'REMA' ELSE 'EarthDEM' END AS pretty,
+        |    CASE o_orderkey % 3 WHEN 0 THEN 'arcticdem' WHEN 1 THEN 'rema' ELSE 'earthdem' END AS raw,
+        |    's2s04' || CAST(1 + o_orderkey % 2 AS VARCHAR) AS ver,
+        |    CASE WHEN o_orderkey % 2 = 0 THEN '2m' ELSE '50cm' END AS res,
+        |    'n' || lpad(CAST(o_orderkey % 90 AS VARCHAR), 2, '0') ||
+        |    'w' || lpad(CAST(o_orderkey % 180 AS VARCHAR), 3, '0') AS grp,
+        |    'SETSM_s2s041_WV01_' || CAST(o_orderkey AS VARCHAR) AS dem_id
+        |  FROM orders)
+        |SELECT o_orderkey AS okey,
+        |  replace(replace(replace(replace(replace(replace(tmpl,
+        |    '<project>', pretty), '<type>', 'strips'), '<version>', ver),
+        |    '<resolution>', res), '<group>', grp), '<dem_id>', dem_id) AS fileurl,
+        |  replace(replace(replace(replace(replace(replace(tmpl,
+        |    '<project>', raw), '<type>', 'strips'), '<version>', ver),
+        |    '<resolution>', res), '<group>', grp), '<dem_id>', dem_id) AS s3url
+        |FROM v""".stripMargin,
+
+    "q_reg_parse" ->
+      """SELECT o_orderkey AS okey,
+        |  (o_orderkey % 19) / 8.0 - 1.0 AS dz,
+        |  (o_orderkey % 23) / 4.0 - 2.0 AS dx,
+        |  (o_orderkey % 17) / 2.0 - 4.0 AS dy,
+        |  CAST(o_orderkey % 40 AS BIGINT) AS num_gcps,
+        |  (o_orderkey % 13) / 16.0 AS mean_resid_z
+        |FROM orders""".stripMargin,
+
+    "q_reg_apply" ->
+      """WITH v AS (
+        |  SELECT o_orderkey,
+        |    (o_orderkey % 19) / 8.0 - 1.0 AS dz,
+        |    (o_orderkey % 23) / 4.0 - 2.0 AS dx,
+        |    (o_orderkey % 17) / 2.0 - 4.0 AS dy,
+        |    (o_orderkey % 360) - 180.0 + (o_orderkey % 23) / 4.0 - 2.0 AS minx,
+        |    (o_orderkey % 170) - 85.0 + (o_orderkey % 17) / 2.0 - 4.0 AS maxy,
+        |    CAST(1000 + o_orderkey % 500 AS DOUBLE) AS xsize,
+        |    CAST(1200 + o_orderkey % 400 AS DOUBLE) AS ysize
+        |  FROM orders)
+        |SELECT o_orderkey AS okey,
+        |  minx, maxy + ysize * (-2.0) AS miny, minx + xsize * 2.0 AS maxx, maxy,
+        |  (100 + o_orderkey % 50) + dz AS z_reg
+        |FROM v""".stripMargin,
+
+    "q_density_cache" -> withCtes(
+      s"""SELECT $geocellSql AS geocell,
+         |  CAST(count(*) AS BIGINT) AS n,
+         |  count(*) / 1.0 AS density,
+         |  CAST(sum(CASE WHEN n_chars >= 40 THEN 1 ELSE 0 END) AS DOUBLE) / count(*) AS masked_density
+         |FROM pages GROUP BY 1""".stripMargin, Pages.docPagesCte)
   )
 }

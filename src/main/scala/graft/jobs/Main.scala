@@ -12,11 +12,11 @@ import graft.table.Icelite
   * `outRoot/<job>`, so a re-run resumes/verifies rather than recomputing.
   *
   * Usage: spark-submit --class graft.jobs.Main <jar> <job> <sfDir> <outRoot>
-  *   job ∈ index | shelve | tile | knn | stacdocs | stacmeta
+  *   job ∈ index | shelve | tile | knn | stacdocs | stacmeta | stream
   */
 object Main {
   def main(args: Array[String]): Unit = {
-    require(args.length >= 3, "usage: <index|shelve|tile|knn|stacdocs|stacmeta> <sfDir> <outRoot>")
+    require(args.length >= 3, "usage: <index|shelve|tile|knn|stacdocs|stacmeta|stream> <sfDir> <outRoot>")
     val Array(job, sfDir, outRoot) = args.take(3)
     val spark = Session.local(
       sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt, s"graft-$job")
@@ -54,6 +54,42 @@ object Main {
           val tree = StacDocs.treeRollup(Pages.fromDocuments(spark, sfDir))
           Icelite.commit(spark, tree, s"$outRoot/stac_tree", s"stac:$sfDir")
           println(s"""{"job":"stacdocs","items":${snap.rowCount}}""")
+        case "stream" =>
+          // streaming spine end-to-end from spark-submit: file-source
+          // micro-batches (one file per trigger so a multi-file table
+          // exercises >= 2 batches) → stream-static broadcast PIP shelve →
+          // windowed counts → Icelite-merged sink; AvailableNow drains the
+          // source then terminates, like a batch-of-streams backfill
+          // a file-stream source watches a DIRECTORY; stage the input file(s)
+          // as symlinks so a multi-part table arrives as multiple batches
+          import java.nio.file.{Files, Paths}
+          import scala.jdk.CollectionConverters._
+          val src = Paths.get(s"$sfDir/documents.parquet")
+          val inDir = Files.createDirectories(Paths.get(outRoot, "stream_in"))
+          val parts =
+            if (Files.isDirectory(src)) {
+              val ls = Files.list(src)
+              try ls.iterator().asScala.filter(_.toString.endsWith(".parquet")).toSeq
+              finally ls.close()
+            } else Seq(src)
+          parts.sorted.zipWithIndex.foreach { case (p, i) =>
+            val target = inDir.resolve(s"part-$i.parquet")
+            if (!Files.exists(target)) Files.createSymbolicLink(target, p.toAbsolutePath)
+          }
+          val docsSchema = spark.read.parquet(src.toString).schema
+          val docsStream = spark.readStream.schema(docsSchema)
+            .option("maxFilesPerTrigger", "1")
+            .parquet(inDir.toString)
+          val tiles = Pages.tiles(spark).withColumn("ring",
+            PipJoin.rectRing(col("x0"), col("y0"), col("x1"), col("y1")))
+          val table = s"$outRoot/stream_shelve_counts"
+          val q = graft.streaming.EventStream.runShelveCountsToIcelite(
+            spark, Pages.pagesFromDocuments(docsStream), tiles, table,
+            s"$outRoot/stream_checkpoint",
+            org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          q.awaitTermination()
+          val snap = Icelite.readManifest(table, Icelite.currentSnapshotId(table).get)
+          println(s"""{"job":"stream","windows":${snap.rowCount},"snapshot":${snap.id}}""")
         case "stacmeta" =>
           // extract_stac_metadata.py's flow: batched asset-info rows UPSERTED
           // into the metadata table (INSERT ... ON CONFLICT DO UPDATE →

@@ -103,9 +103,10 @@ object Pages {
        |  ) t2
        |)""".stripMargin
 
-  /** Web pages from the documents table: full input_hint schema + geocoding. */
-  def fromDocuments(spark: SparkSession, sfDir: String): DataFrame = {
-    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+  /** The documents → pages derivation, shared by the batch reader and the
+    * streaming job (pure narrow column transforms, so it applies to a
+    * streaming frame unchanged). */
+  def pagesFromDocuments(docs: DataFrame): DataFrame =
     withGeo(docs, "doc_id")
       .withColumn("url", concat(lit("https://example.org/"), col("lang"),
         lit("/doc-"), col("doc_id").cast("string")))
@@ -114,7 +115,10 @@ object Pages {
           .cast("timestamp"))
       .withColumn("html", encode(
         concat(lit("<html><body>"), col("text"), lit("</body></html>")), "UTF-8"))
-  }
+
+  /** Web pages from the documents table: full input_hint schema + geocoding. */
+  def fromDocuments(spark: SparkSession, sfDir: String): DataFrame =
+    pagesFromDocuments(spark.read.parquet(s"$sfDir/documents.parquet"))
 
   /** Scaled page set from lineitem: (page_id, lonm, latm, lon, lat). */
   def fromLineitem(spark: SparkSession, sfDir: String): DataFrame = {

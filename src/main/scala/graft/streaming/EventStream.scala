@@ -72,6 +72,34 @@ object EventStream {
         col("tile_name"), col("n"))
   }
 
+  /** End-to-end streaming spine for the `stream` job: [[streamingShelveCounts]]
+    * in UPDATE mode, each micro-batch MERGE-upserted into an Icelite table on
+    * the (hr_epoch, tile_name) window key — the streaming twin of the batch
+    * job's `INSERT … ON CONFLICT DO UPDATE` flow. A window's count row is
+    * re-emitted (and re-upserted) every batch that advances it, so the sink
+    * converges to the batch result; a killed job resumes from the stream
+    * checkpoint plus the last committed snapshot, and Icelite.merge frees its
+    * per-batch checkpoint blocks, so the loop runs indefinitely.
+    */
+  def runShelveCountsToIcelite(spark: SparkSession, pages: DataFrame,
+                               tiles: DataFrame, table: String,
+                               checkpointDir: String,
+                               trigger: org.apache.spark.sql.streaming.Trigger =
+                                 org.apache.spark.sql.streaming.Trigger.ProcessingTime(0L))
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    streamingShelveCounts(pages, tiles)
+      .writeStream
+      .outputMode(OutputMode.Update())
+      .option("checkpointLocation", checkpointDir)
+      .trigger(trigger)
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        if (!batch.isEmpty)
+          graft.table.Icelite.merge(spark, batch.toDF(), table,
+            Seq("hr_epoch", "tile_name"), inputFingerprint = s"batch:$batchId")
+        ()
+      }
+      .start()
+
   /** Streaming exact dedup on the record id — the training-ingest "have we
     * seen this document before" gate. `dropDuplicatesWithinWatermark` keys
     * state by event_id and evicts entries once the watermark passes, so

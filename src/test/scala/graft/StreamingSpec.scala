@@ -92,6 +92,45 @@ class StreamingSpec extends SparkSpec {
     assert(!got.exists(_._2 == "t_b2"), "overlap points must be skipped, not double-shelved")
   }
 
+  test("shelve-count stream merges each micro-batch into the Icelite sink (>= 2 batches)") {
+    implicit val sqlCtx = spark.sqlContext
+    val root = java.nio.file.Files.createTempDirectory("stream-job").toString
+    val table = s"$root/counts"
+    val tiles = Seq(
+      ("t_a", Seq(10.0, 50.0, 15.0, 50.0, 15.0, 55.0, 10.0, 55.0)),
+      ("t_b", Seq(-2.0, -2.0, 2.0, -2.0, 2.0, 2.0, -2.0, 2.0))).toDF("tile_name", "ring")
+    val input = MemoryStream[(Long, Timestamp, Double, Double)]
+    val q = EventStream.runShelveCountsToIcelite(spark,
+      input.toDF().toDF("doc_id", "warc_ts", "lon", "lat"), tiles,
+      table, s"$root/ckpt")
+    // batch 1: two t_a pages in hour 0
+    input.addData((1L, ts(0), 12.3, 51.2), (2L, ts(5), 12.9, 51.8))
+    q.processAllAvailable()
+    val afterB1 = graft.table.Icelite.read(spark, table)
+      .as[(Long, String, Long)].collect().toSet
+    assert(afterB1.exists { case (_, t, n) => t == "t_a" && n == 2 })
+    // batch 2: one MORE t_a page in hour 0 (updates the window's count via
+    // the upsert) plus a t_b page in hour 1 (new window row)
+    input.addData((3L, ts(10), 12.5, 51.5), (4L, ts(70), -0.5, -0.5))
+    q.processAllAvailable()
+    q.stop()
+    val got = graft.table.Icelite.read(spark, table)
+      .as[(Long, String, Long)].collect().toSet
+    val batchTwin = graft.ops.PipJoin.shelve(
+        Seq((1L, ts(0), 12.3, 51.2), (2L, ts(5), 12.9, 51.8),
+          (3L, ts(10), 12.5, 51.5), (4L, ts(70), -0.5, -0.5))
+          .toDF("doc_id", "warc_ts", "lon", "lat"), tiles,
+        "doc_id", "lon", "lat", "tile_name", "ring")
+      .groupBy(date_trunc("hour", col("warc_ts")).cast("long").as("hr_epoch"),
+        col("tile_name"))
+      .agg(count(lit(1)).as("n"))
+      .as[(Long, String, Long)].collect().toSet
+    assert(got === batchTwin, "merged sink must converge to the batch result")
+    assert(graft.table.Icelite.currentSnapshotId(table).exists(_ >= 2),
+      "each micro-batch must commit a snapshot")
+    assert(graft.table.Icelite.verifyLineage(spark, table))
+  }
+
   test("streaming dedup drops re-deliveries within the watermark") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[Event]
