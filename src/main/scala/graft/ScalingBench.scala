@@ -156,9 +156,15 @@ object ScalingBench {
     // entire phase. Alternating (8, 32) rounds spreads interference evenly;
     // min-of-all per level is the least-interference estimate, and per-pair
     // efficiencies expose which rounds were quiet.
-    val pairs = (1 to 4).map { r =>
-      val t8 = timeAt(8, path, mode, runs = 2).min
-      val t32 = timeAt(32, path, mode, runs = 2).min
+    // pairs/runs are env-tunable so a driver with a per-command wall clock
+    // can split the measurement into several invocations (one pair each)
+    // and still interleave levels within every invocation
+    val nPairs = sys.env.getOrElse("SPARK_GRAFT_SCALING_PAIRS", "4").toInt
+    val nRuns = sys.env.getOrElse("SPARK_GRAFT_SCALING_RUNS", "2").toInt
+    if (nPairs == 0) { println(s"""{"metric":"scaling-setup","rows":$rows}"""); return }
+    val pairs = (1 to nPairs).map { r =>
+      val t8 = timeAt(8, path, mode, runs = nRuns).min
+      val t32 = timeAt(32, path, mode, runs = nRuns).min
       System.err.println(f"[scaling] round=$r t8=$t8%.2f t32=$t32%.2f pairEff=${t8 / (4 * t32)}%.3f")
       (t8, t32)
     }

@@ -12,11 +12,12 @@ import graft.table.Icelite
   * `outRoot/<job>`, so a re-run resumes/verifies rather than recomputing.
   *
   * Usage: spark-submit --class graft.jobs.Main <jar> <job> <sfDir> <outRoot>
-  *   job ∈ index | shelve | tile | knn | stacdocs | stacmeta | stream
+  *   job ∈ index | shelve | tile | knn | stacdocs | stacmeta | stream | compact
   */
 object Main {
   def main(args: Array[String]): Unit = {
-    require(args.length >= 3, "usage: <index|shelve|tile|knn|stacdocs|stacmeta|stream> <sfDir> <outRoot>")
+    require(args.length >= 3,
+      "usage: <index|shelve|tile|knn|stacdocs|stacmeta|stream|compact> <sfDir> <outRoot>")
     val Array(job, sfDir, outRoot) = args.take(3)
     val spark = Session.local(
       sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt, s"graft-$job")
@@ -99,6 +100,17 @@ object Main {
           val snap = Icelite.merge(spark, assets, s"$outRoot/stac_asset_info",
             Seq("collection", "item_id", "asset_key"), s"stacmeta:$sfDir")
           println(s"""{"job":"stacmeta","rows":${snap.rowCount},"snapshot":${snap.id}}""")
+        case "compact" =>
+          // table maintenance from spark-submit: enforce the per-file size
+          // bound on a merged table (Iceberg rewrite_data_files analog) and
+          // GC expired snapshots afterwards
+          val table = s"$outRoot/stac_asset_info"
+          val bound = sys.env.get("GRAFT_MAX_ROWS_PER_FILE").map(_.toLong)
+            .getOrElse(Icelite.DefaultMaxRowsPerFile)
+          val (rewritten, files) = Icelite.compact(spark, table, bound)
+          val (mDel, fDel) = Icelite.expireSnapshots(table)
+          println(s"""{"job":"compact","rewritten":$rewritten,"files":$files,""" +
+            s""""manifests_expired":$mDel,"files_gcd":$fDel}""")
         case other => sys.error(s"unknown job $other")
       }
     } finally spark.stop()
