@@ -84,13 +84,25 @@ object Main {
           val tiles = Pages.tiles(spark).withColumn("ring",
             PipJoin.rectRing(col("x0"), col("y0"), col("x1"), col("y1")))
           val table = s"$outRoot/stream_shelve_counts"
+          // backfill watermark: file order is not event-time order, so a
+          // live-sized watermark would silently drop whole files' rows once
+          // an out-of-order earlier file follows a later one; a backfill
+          // keeps all windows updatable (state = distinct windows, bounded)
           val q = graft.streaming.EventStream.runShelveCountsToIcelite(
             spark, Pages.pagesFromDocuments(docsStream), tiles, table,
             s"$outRoot/stream_checkpoint",
-            org.apache.spark.sql.streaming.Trigger.AvailableNow())
+            org.apache.spark.sql.streaming.Trigger.AvailableNow(),
+            watermark = sys.env.getOrElse("GRAFT_STREAM_WATERMARK", "87600 hours"))
           q.awaitTermination()
-          val snap = Icelite.readManifest(table, Icelite.currentSnapshotId(table).get)
-          println(s"""{"job":"stream","windows":${snap.rowCount},"snapshot":${snap.id}}""")
+          // every batch can be empty (e.g. all pages miss the tile grid):
+          // report zero windows, not a crash on a never-created table
+          Icelite.currentSnapshotId(table) match {
+            case Some(id) =>
+              val snap = Icelite.readManifest(table, id)
+              println(s"""{"job":"stream","windows":${snap.rowCount},"snapshot":${snap.id}}""")
+            case None =>
+              println(s"""{"job":"stream","windows":0,"snapshot":null}""")
+          }
         case "stacmeta" =>
           // extract_stac_metadata.py's flow: batched asset-info rows UPSERTED
           // into the metadata table (INSERT ... ON CONFLICT DO UPDATE →

@@ -2,7 +2,6 @@ package graft.ops
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.expressions.Window
 import graft.cells.Cells
 
 /** Exact k-nearest-neighbor self/join via expanding cell-ring search
@@ -114,7 +113,10 @@ object KnnJoin {
     // duplicate points put a floor under max occupancy, so Cells.MaxLevel is
     // the hard stop (the in-loop brute short-circuit absorbs that case).
     while (eligible.isEmpty && probed.last < Cells.MaxLevel) {
-      val next = (probed.last + 2) to math.min(probed.last + 8, Cells.MaxLevel) by 2
+      val stepped = (probed.last + 2) to math.min(probed.last + 8, Cells.MaxLevel) by 2
+      // a caller-supplied odd-parity ladder would make the step-2 range
+      // empty one short of MaxLevel — always advance, or the loop never exits
+      val next: Seq[Int] = if (stepped.nonEmpty) stepped else Seq(Cells.MaxLevel)
       occByLevel ++= measureMaxOcc(next)
       probed = probed ++ next
       eligible = eligibleOf(next)
@@ -254,14 +256,13 @@ object KnnJoin {
         .toDF("query_id", "q_lonm", "q_latm", "__qcell",
           "neighbor_id", "d2", "rn", "__done")
         .localCheckpoint() // one job; truncates the per-round lineage
-      val topk = flagged
       finishedParts += flagged.filter(col("__done"))
         .select("query_id", "neighbor_id", "d2", "rn")
       val unfinished = flagged.filter(!col("__done"))
       val unfinishedQ = unfinished
         .select("query_id", "q_lonm", "q_latm", "__qcell").distinct()
       // also keep queries that found NO candidate at all this round
-      val orphanQ = remaining.join(topk.select("query_id").distinct(),
+      val orphanQ = remaining.join(flagged.select("query_id").distinct(),
         Seq("query_id"), "left_anti")
       val nextQ = unfinishedQ.unionByName(orphanQ).localCheckpoint()
       val nLeft = nextQ.count()

@@ -59,10 +59,11 @@ object EventStream {
     * [[graft.ops.PipJoin.shelve]] the batch path uses.
     */
   def streamingShelveCounts(pages: DataFrame, tiles: DataFrame,
-                            level: Int = 8): DataFrame = {
+                            level: Int = 8,
+                            watermark: String = "2 hours"): DataFrame = {
     val withWm = pages
       .withColumn("warc_ts", col("warc_ts").cast("timestamp"))
-      .withWatermark("warc_ts", "2 hours")
+      .withWatermark("warc_ts", watermark)
     val shelved = graft.ops.PipJoin.shelve(withWm, tiles,
       "doc_id", "lon", "lat", "tile_name", "ring", level = level)
     shelved
@@ -85,9 +86,10 @@ object EventStream {
                                tiles: DataFrame, table: String,
                                checkpointDir: String,
                                trigger: org.apache.spark.sql.streaming.Trigger =
-                                 org.apache.spark.sql.streaming.Trigger.ProcessingTime(0L))
+                                 org.apache.spark.sql.streaming.Trigger.ProcessingTime(0L),
+                               watermark: String = "2 hours")
       : org.apache.spark.sql.streaming.StreamingQuery =
-    streamingShelveCounts(pages, tiles)
+    streamingShelveCounts(pages, tiles, watermark = watermark)
       .writeStream
       .outputMode(OutputMode.Update())
       .option("checkpointLocation", checkpointDir)

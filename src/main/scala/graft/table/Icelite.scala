@@ -179,11 +179,22 @@ object Icelite {
       }.toSeq.sortBy(_.path)
   }
 
+  private def inflightMarker(table: String, uuid: String): Path =
+    Paths.get(table, "_inflight", uuid)
+
   /** Write `df` into a fresh uuid data dir (slice-partitioned when the
     * `__slice` column is present) and return its per-file lineage entries.
+    * An `_inflight/<uuid>` marker brackets the write so [[expireSnapshots]]
+    * never GCs a live writer's files no matter how long the Spark job runs
+    * (the orphan grace window alone cannot protect a write slower than the
+    * grace); the caller clears the marker after commit or abort, and a
+    * crashed writer's marker ages out under the inflight TTL.
     */
   private def writeData(spark: SparkSession, df: DataFrame, table: String): (String, Seq[FileEntry]) = {
     val uuid = UUID.randomUUID().toString
+    val marker = inflightMarker(table, uuid)
+    Files.createDirectories(marker.getParent)
+    Files.writeString(marker, "")
     val dataDir = Paths.get(table, "data", uuid)
     val sliced = df.columns.contains("__slice")
     if (sliced)
@@ -242,6 +253,7 @@ object Icelite {
       Files.writeString(tmp, id.toString)
       Files.move(tmp, currentPtr(table), StandardCopyOption.ATOMIC_MOVE,
         StandardCopyOption.REPLACE_EXISTING)
+      Files.deleteIfExists(inflightMarker(table, uuid)) // write is now durable
       Some(Snapshot(id, uuid, entries, rowCount, inputFingerprint, nBuckets, bucketSpec))
     }
   }
@@ -354,6 +366,7 @@ object Icelite {
       while (attempt < 8) {
         attempt += 1
         val baseId = currentSnapshotId(table)
+        try {
         val (carried, toMerge, estRows, atLeastMod): (Seq[FileEntry], DataFrame, Long, Int) =
           baseId match {
             case None => (Seq.empty, incoming, nIncoming, 1)
@@ -411,6 +424,17 @@ object Icelite {
           case Some(snap) => return snap
           case None => // base advanced under us: drop the orphan write, recompute
             deleteRecursively(Paths.get(table, "data", uuid))
+            Files.deleteIfExists(inflightMarker(table, uuid))
+        }
+        } catch {
+          // a lost-race base's files can be GC'd (expire retains only the
+          // newest snapshots) while this attempt is still scanning them —
+          // the resulting read failure means "stale base", not "bad data";
+          // retry from the advanced snapshot instead of failing the upsert.
+          // Only swallowed when the base demonstrably moved.
+          case e: Throwable if currentSnapshotId(table) != baseId =>
+            System.err.println(s"[icelite] merge attempt $attempt on $table " +
+              s"read a superseded base ($baseId): ${e.getMessage}; retrying")
         }
       }
       throw new IllegalStateException(s"merge on $table lost 8 commit races")
@@ -483,7 +507,9 @@ object Icelite {
       commitEntries(table, uuid, carried ++ newEntries, base.inputFingerprint,
         base.nBuckets, base.bucketSpec, Some(Some(baseId))) match {
         case Some(snap) => return (rewriting.size, snap.files.size)
-        case None => deleteRecursively(Paths.get(table, "data", uuid))
+        case None =>
+          deleteRecursively(Paths.get(table, "data", uuid))
+          Files.deleteIfExists(inflightMarker(table, uuid))
       }
     }
     throw new IllegalStateException(s"compact on $table lost 8 commit races")
@@ -557,7 +583,8 @@ object Icelite {
     * Returns (manifests deleted, data files deleted).
     */
   def expireSnapshots(table: String, retain: Int = 2,
-                      orphanGraceMs: Long = 3600000L): (Int, Int) = {
+                      orphanGraceMs: Long = 3600000L,
+                      inflightTtlMs: Long = 86400000L): (Int, Int) = {
     require(retain >= 1, "must retain at least the current snapshot")
     if (currentSnapshotId(table).isEmpty) return (0, 0)
     withTableLock(table) {
@@ -593,10 +620,30 @@ object Icelite {
               s.contains(canon(p.getParent.resolve(name.drop(1).dropRight(4)))))
         }
         val now = System.currentTimeMillis()
+        // live-writer protection: a data dir whose _inflight/<uuid> marker is
+        // younger than the TTL belongs to a write still in progress — the
+        // grace window alone cannot protect a Spark job slower than the
+        // grace. Stale markers (crashed writers) age out and are removed.
+        val inflightDir = Paths.get(table, "_inflight")
+        val liveUuids: Set[String] =
+          if (!Files.isDirectory(inflightDir)) Set.empty
+          else {
+            val ls = Files.list(inflightDir)
+            val markers = try ls.iterator().asScala.toSeq finally ls.close()
+            markers.flatMap { m =>
+              if (now - Files.getLastModifiedTime(m).toMillis > inflightTtlMs) {
+                Files.deleteIfExists(m); None
+              } else Some(m.getFileName.toString)
+            }.toSet
+          }
+        def inLiveWrite(p: Path): Boolean = {
+          val rel = dataRoot.relativize(p)
+          rel.getNameCount > 0 && liveUuids.contains(rel.getName(0).toString)
+        }
         val walk = Files.walk(dataRoot)
         try {
           walk.iterator().asScala.filter(Files.isRegularFile(_)).toSeq.foreach { p =>
-            if (!inSet(referenced)(p)) {
+            if (!inSet(referenced)(p) && !inLiveWrite(p)) {
               val dead = inSet(knownDead)(p) ||
                 now - Files.getLastModifiedTime(p).toMillis > orphanGraceMs
               if (dead) { Files.delete(p); deleted += 1 }

@@ -321,6 +321,53 @@ class IceliteSpec extends SparkSpec {
     assert(Files.exists(Paths.get(t, "meta", "snapshot-3.json")))
   }
 
+  test("two writers + aggressive expirer: retries converge, nothing lost (multi-writer race)") {
+    val t = tmpDir() + "/conc2"
+    Icelite.merge(spark, Seq((0L, "seed")).toDF("id", "v"), t, Seq("id"))
+    val errs = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+    def writer(ids: Range) = new Thread(() => {
+      try ids.foreach { i =>
+        Icelite.merge(spark, Seq((i.toLong, s"m$i")).toDF("id", "v"), t, Seq("id"))
+      } catch { case e: Throwable => errs.add(e) }
+    })
+    val w1 = writer(1 to 5)
+    val w2 = writer(6 to 10)
+    val expirer = new Thread(() => {
+      try (1 to 8).foreach { _ =>
+        // retain=1 GCs a lost-race base's files while the loser may still be
+        // scanning them — the loser must retry from the winner's snapshot,
+        // not fail (grace=default spares in-flight uuid dirs via markers)
+        Icelite.expireSnapshots(t, retain = 1)
+        Thread.sleep(3)
+      } catch { case e: Throwable => errs.add(e) }
+    })
+    w1.start(); w2.start(); expirer.start()
+    w1.join(); w2.join(); expirer.join()
+    assert(errs.isEmpty, s"multi-writer merge/expire failed: ${errs.asScala.map(_.toString)}")
+    assert(Icelite.read(spark, t).as[(Long, String)].collect().toSet
+      === (0 to 10).map(i => (i.toLong, if (i == 0) "seed" else s"m$i")).toSet)
+    assert(Icelite.verifyLineage(spark, t))
+  }
+
+  test("expire spares a live writer's uncommitted files via the inflight marker") {
+    val t = tmpDir() + "/infl1"
+    Icelite.merge(spark, Seq((1L, "a")).toDF("id", "v"), t, Seq("id"))
+    // simulate a slow in-flight writer: marker present, data dir aging
+    val uuid = "slow-writer-uuid"
+    Files.createDirectories(Paths.get(t, "_inflight"))
+    Files.writeString(Paths.get(t, "_inflight", uuid), "")
+    Seq((9L, "pending")).toDF("id", "v").write.parquet(s"$t/data/$uuid")
+    // age the data files past any grace (grace=0), marker stays young
+    val (_, fDel) = Icelite.expireSnapshots(t, retain = 1, orphanGraceMs = 0L)
+    assert(Files.exists(Paths.get(t, "data", uuid)),
+      "live writer's data dir must survive GC even past the orphan grace")
+    // crashed writer: marker older than the inflight TTL -> files become GC-able
+    val (_, fDel2) = Icelite.expireSnapshots(t, retain = 1,
+      orphanGraceMs = 0L, inflightTtlMs = 0L)
+    assert(fDel2 > 0 && !Files.exists(Paths.get(t, "data", uuid)),
+      "stale marker must age out and release the orphan files")
+  }
+
   test("lineage verification detects tampered snapshot data") {
     val t = tmpDir() + "/lv1"
     val df = (1 to 200).map(i => (i.toLong, s"v$i")).toDF("id", "v")
