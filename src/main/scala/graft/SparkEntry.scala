@@ -274,6 +274,11 @@ object SparkEntry {
     "q_jaccard_pairs" -> ((s, dir) =>
       TextOps.jaccardPairs(s.read.parquet(s"$dir/documents.parquet"), 0.2)),
 
+    // --- dedup: SimHash near-dup pairs (pigeonhole multi-index, exact
+    // hamming verify — completes the simhash family's pair path)
+    "q_simhash_pairs" -> ((s, dir) =>
+      TextOps.simhashPairs(s.read.parquet(s"$dir/documents.parquet"), maxHamming = 3)),
+
     // --- similarity: exact brute-force cosine top-k
     "q_ann_brute" -> ((s, dir) =>
       Ann.bruteTopK(s.read.parquet(s"$dir/embeddings.parquet"), col("vec_id") < 32, k = 5)
@@ -1077,6 +1082,34 @@ object SparkEntry {
         s"""v AS (SELECT doc_id,
            |        $votes
            |      FROM hv GROUP BY doc_id)""".stripMargin)
+    },
+
+    "q_simhash_pairs" -> {
+      val votes = (0 until TextOps.SimhashBits)
+        .map(i => s"sum(CASE WHEN (h >> $i) & 1 = 1 THEN 1 ELSE -1 END) AS v_$i")
+        .mkString(",\n         ")
+      val sim = (0 until TextOps.SimhashBits)
+        .map(i => s"CASE WHEN v_$i > 0 THEN ${1L << i} ELSE 0 END")
+        .mkString(" + ")
+      val blocks = 4 // maxHamming 3 + 1
+      val blockBits = TextOps.SimhashBits / blocks
+      val keyCols = (0 until blocks)
+        .map(b => s"(simhash >> ${b * blockBits}) & ${(1L << blockBits) - 1} AS b$b")
+        .mkString(", ")
+      val anyBlock = (0 until blocks).map(b => s"a.b$b = b.b$b").mkString(" OR ")
+      withCtes(
+        s"""SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           |       CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming
+           |FROM keys a JOIN keys b ON a.doc_id < b.doc_id AND ($anyBlock)
+           |WHERE bit_count(xor(a.simhash, b.simhash)) <= 3""".stripMargin,
+        toksCte,
+        s"""hv AS (SELECT doc_id, ${h32sql("wd")} AS h
+           |       FROM (SELECT doc_id, unnest(t) AS wd FROM toks))""".stripMargin,
+        s"""v AS (SELECT doc_id,
+           |        $votes
+           |      FROM hv GROUP BY doc_id)""".stripMargin,
+        s"sims AS (SELECT doc_id, CAST($sim AS BIGINT) AS simhash FROM v)",
+        s"keys AS (SELECT doc_id, simhash, $keyCols FROM sims)")
     },
 
     "q_jaccard_pairs" -> withCtes(

@@ -195,6 +195,45 @@ object TextOps {
           shingleHashes(col("text"), 1), SimhashBits).as("simhash"))
       .filter(col("simhash").isNotNull)
 
+  /** SimHash near-dup pairs at hamming distance ≤ `maxHamming` via the
+    * standard pigeonhole multi-index: split the signature into
+    * `maxHamming + 1` bit-blocks — two signatures within the distance MUST
+    * agree exactly on at least one block — equi-join per block (first-block
+    * dedup built into the join conditions, like [[graft.sim.Ann.lshPairsBanded]]),
+    * then verify the exact hamming distance with `bit_count(xor)`.
+    * Output (doc_a, doc_b, hamming), doc_a < doc_b, each pair once.
+    *
+    * Scale note (honest): block selectivity is 2^(bits/blocks) buckets — at
+    * 24 bits and d=3 that is 64 buckets per block, which re-pairs
+    * quadratically past ~10^5 docs. The knob is signature width (block width
+    * must track log2 N); at the 100 TB design point near-dup extraction
+    * runs on [[minhashPairs]] / banded embedding LSH, and this completes
+    * the simhash family for moderate-cardinality slices (per-geocell,
+    * per-domain) where the 64-way split is plenty.
+    */
+  def simhashPairs(docs: DataFrame, maxHamming: Int = 3): DataFrame = {
+    val blocks = maxHamming + 1
+    val blockBits = SimhashBits / blocks
+    val sigs = simhash(docs)
+    def side(tag: String): DataFrame = {
+      val cols = col("doc_id").as(s"id_$tag") +: col("simhash").as(s"sh_$tag") +:
+        (0 until blocks).map(b => shiftright(col("simhash"), b * blockBits)
+          .bitwiseAND(lit((1L << blockBits) - 1)).as(s"b$tag$b"))
+      sigs.select(cols: _*)
+    }
+    val a = side("a"); val bb = side("b")
+    val perBlock = (0 until blocks).map { blk =>
+      val firstMatch = (0 until blk)
+        .map(i => col(s"ba$i") =!= col(s"bb$i"))
+        .foldLeft(lit(true))(_ && _)
+      a.join(bb, col(s"ba$blk") === col(s"bb$blk")
+          && col("id_a") < col("id_b") && firstMatch)
+        .select(col("id_a").as("doc_a"), col("id_b").as("doc_b"),
+          bit_count(col("sh_a").bitwiseXOR(col("sh_b"))).cast("long").as("hamming"))
+    }
+    perBlock.reduce(_ unionByName _).filter(col("hamming") <= maxHamming)
+  }
+
   /** (retired per-row-array formulation kept for reference tests) */
   private[text] def simhashArrayForm(docs: DataFrame): DataFrame = {
     val hs = transform(tokens(col("text")), w => h32(w))
