@@ -120,6 +120,22 @@ object Icelite {
     * table as empty, a merge would drop every existing row, and GC would
     * delete live data.
     */
+  private def parseEntries(txt: String, nBuckets: Int): Seq[FileEntry] = {
+    val sliceFiles = """\{"path":"([^"]*)","mod":(\d+),"res":(\d+),"rows":(\d+),"checksum":(-?\d+)\}""".r
+      .findAllMatchIn(txt)
+      .map(m => FileEntry(m.group(1), m.group(2).toInt, m.group(3).toInt,
+        m.group(4).toLong, m.group(5).toLong))
+      .toSeq
+    if (sliceFiles.nonEmpty) sliceFiles
+    else """\{"path":"([^"]*)","bucket":(-?\d+),"rows":(\d+),"checksum":(-?\d+)\}""".r
+      .findAllMatchIn(txt)
+      .map { m =>
+        val b = m.group(2).toInt
+        if (b >= 0) FileEntry(m.group(1), nBuckets, b, m.group(3).toLong, m.group(4).toLong)
+        else FileEntry(m.group(1), 0, 0, m.group(3).toLong, m.group(4).toLong)
+      }.toSeq
+  }
+
   def readManifest(table: String, id: Long): Snapshot = {
     val txt = Files.readString(metaDir(table).resolve(s"snapshot-$id.json"))
     def field(k: String): String = {
@@ -131,20 +147,17 @@ object Icelite {
       (s""""$k"\\s*:\\s*("([^"]*)"|[0-9-]+)""").r.findFirstMatchIn(txt)
         .map(m => Option(m.group(2)).getOrElse(m.group(1))).getOrElse(default)
     val nBuckets = opt("nBuckets", "0").toInt
-    val sliceFiles = """\{"path":"([^"]*)","mod":(\d+),"res":(\d+),"rows":(\d+),"checksum":(-?\d+)\}""".r
-      .findAllMatchIn(txt)
-      .map(m => FileEntry(m.group(1), m.group(2).toInt, m.group(3).toInt,
-        m.group(4).toLong, m.group(5).toLong))
-      .toSeq
+    // segmented manifest (the Iceberg manifest-list analog): file entries
+    // live in content-addressed segment files referenced by name; a round-4
+    // inline manifest (entries embedded) still parses
+    val segRefs = """"segments"\s*:\s*\[([^\]]*)\]""".r.findFirstMatchIn(txt)
+      .map(_.group(1)).toSeq
+      .flatMap(inner => """"([^"]+)"""".r.findAllMatchIn(inner).map(_.group(1)))
     val files =
-      if (sliceFiles.nonEmpty) sliceFiles
-      else """\{"path":"([^"]*)","bucket":(-?\d+),"rows":(\d+),"checksum":(-?\d+)\}""".r
-        .findAllMatchIn(txt)
-        .map { m =>
-          val b = m.group(2).toInt
-          if (b >= 0) FileEntry(m.group(1), nBuckets, b, m.group(3).toLong, m.group(4).toLong)
-          else FileEntry(m.group(1), 0, 0, m.group(3).toLong, m.group(4).toLong)
-        }.toSeq
+      if (segRefs.nonEmpty)
+        segRefs.flatMap(seg => parseEntries(
+          Files.readString(metaDir(table).resolve(seg)), nBuckets))
+      else parseEntries(txt, nBuckets)
     val rowCount = field("rowCount").toLong
     if (rowCount > 0 && files.isEmpty)
       throw new IllegalStateException(
@@ -235,11 +248,12 @@ object Icelite {
         case Some(base) if base != cur => return None // lost the race
         case _ =>
       }
+      val segments = writeSegments(table, entries, nBuckets)
       var id = cur.getOrElse(0L) + 1
       var written = false
       while (!written) {
         val manifest = manifestJson(id, uuid, rowCount, inputFingerprint, nBuckets,
-          bucketSpec, entries)
+          bucketSpec, segments)
         try {
           Files.writeString(metaDir(table).resolve(s"snapshot-$id.json"),
             manifest, StandardOpenOption.CREATE_NEW)
@@ -267,17 +281,48 @@ object Icelite {
     commitEntries(table, uuid, entries, inputFingerprint, 0, "", None).get
   }
 
+  private def entryJson(f: FileEntry): String =
+    s"""{"path":"${f.path}","mod":${f.mod},"res":${f.res},"rows":${f.rows},"checksum":${f.checksum}}"""
+
+  private def md5hex(s: String): String =
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map(b => "%02x".format(b)).mkString
+
+  /** Write (or reuse) the CONTENT-ADDRESSED manifest segments for `entries`,
+    * one per base bucket, returning their file names. This is the Iceberg
+    * manifest-list analog that keeps commit METADATA O(changed buckets): a
+    * merge touching two slices reproduces identical segment bodies for every
+    * untouched bucket, which hash to the already-existing segment files —
+    * zero writes — while an inline file list would rewrite O(table-files)
+    * JSON on every commit (hundreds of MB at the ~10^6-file design point).
+    * Must run under the table lock: segment GC in [[expireSnapshots]] keeps
+    * only segments referenced by retained manifests, and an unlocked fresh
+    * segment (manifest not yet written) would look unreferenced.
+    */
+  private def writeSegments(table: String, entries: Seq[FileEntry],
+                            nBuckets: Int): Seq[String] = {
+    val base = math.max(1, nBuckets)
+    entries.groupBy(f => if (f.mod > 0) f.res % base else 0).toSeq.sortBy(_._1)
+      .map { case (_, fs) =>
+        val body = fs.sortBy(_.path).map(entryJson).mkString("[", ",\n", "]")
+        val name = s"segment-${md5hex(body).take(16)}.json"
+        val p = metaDir(table).resolve(name)
+        if (!Files.exists(p)) {
+          try Files.writeString(p, body, StandardOpenOption.CREATE_NEW)
+          catch { case _: java.nio.file.FileAlreadyExistsException => () }
+        }
+        name
+      }
+  }
+
   private def manifestJson(id: Long, uuid: String, rowCount: Long,
                            inputFingerprint: String, nBuckets: Int, bucketSpec: String,
-                           entries: Seq[FileEntry]): String = {
-    val fileArr = entries.map(f =>
-      s"""{"path":"${f.path}","mod":${f.mod},"res":${f.res},"rows":${f.rows},"checksum":${f.checksum}}""")
-      .mkString("[", ",", "]")
+                           segments: Seq[String]): String = {
     s"""{"id":$id,"uuid":"$uuid","rowCount":$rowCount,
        |"inputFingerprint":"$inputFingerprint",
        |"nBuckets":$nBuckets,
        |"bucketSpec":"$bucketSpec",
-       |"files":$fileArr}""".stripMargin
+       |"segments":${segments.map("\"" + _ + "\"").mkString("[", ",", "]")}}""".stripMargin
   }
 
   /** Smallest `base · 2^d` with `est / it ≤ maxRows` — the modulus for a
@@ -607,7 +652,20 @@ object Icelite {
       val knownDead: Set[String] =
         expired.flatMap(id => readManifest(table, id).filePaths)
           .map(f => canon(Paths.get(f))).toSet -- referenced
+      // segment GC: keep only manifest segments some retained snapshot
+      // references (content-addressing shares segments across snapshots)
+      val keptSegs: Set[String] = kept.flatMap { id =>
+        val txt = Files.readString(metaDir(table).resolve(s"snapshot-$id.json"))
+        """"segments"\s*:\s*\[([^\]]*)\]""".r.findFirstMatchIn(txt).map(_.group(1)).toSeq
+          .flatMap(inner => """"([^"]+)"""".r.findAllMatchIn(inner).map(_.group(1)))
+      }.toSet
       expired.foreach(id => Files.delete(metaDir(table).resolve(s"snapshot-$id.json")))
+      val segLs = Files.list(metaDir(table))
+      try segLs.iterator().asScala
+        .filter(p => p.getFileName.toString.startsWith("segment-") &&
+          !keptSegs.contains(p.getFileName.toString))
+        .foreach(Files.deleteIfExists(_))
+      finally segLs.close()
       // GC: delete unreferenced files under data/, then prune empty dirs
       val dataRoot = Paths.get(table, "data")
       var deleted = 0

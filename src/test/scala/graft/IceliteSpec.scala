@@ -241,6 +241,54 @@ class IceliteSpec extends SparkSpec {
     assert(Icelite.verifyLineage(spark, t))
   }
 
+  test("commit metadata is O(changed buckets): untouched manifest segments are reused by name") {
+    def segRefs(t: String, id: Long): Set[String] = {
+      val txt = Files.readString(Paths.get(t, "meta", s"snapshot-$id.json"))
+      """"segments"\s*:\s*\[([^\]]*)\]""".r.findFirstMatchIn(txt).map(_.group(1)).toSeq
+        .flatMap(inner => """"([^"]+)"""".r.findAllMatchIn(inner).map(_.group(1))).toSet
+    }
+    val t = tmpDir() + "/seg1"
+    val big = (1 to 1000).map(i => (i.toLong, s"v$i")).toDF("id", "v")
+    Icelite.merge(spark, big, t, Seq("id"), nBuckets = 16)
+    val s1 = segRefs(t, 1)
+    assert(s1.size > 1, "segments must be split by base bucket")
+    // single-row upsert: every untouched bucket's segment is the SAME file
+    Icelite.merge(spark, Seq((5L, "V5")).toDF("id", "v"), t, Seq("id"), nBuckets = 16)
+    val s2 = segRefs(t, 2)
+    assert((s1 -- s2).size <= 1 && (s2 -- s1).size <= 1,
+      s"one bucket changed -> at most one segment may differ (old-only=${s1 -- s2}, new-only=${s2 -- s1})")
+    assert((s1 & s2).nonEmpty)
+    // expire drops segments only the expired snapshot referenced
+    Icelite.expireSnapshots(t, retain = 1, orphanGraceMs = 0L)
+    val liveSegs = {
+      val ls = Files.list(Paths.get(t, "meta"))
+      try ls.iterator().asScala.map(_.getFileName.toString)
+        .filter(_.startsWith("segment-")).toSet
+      finally ls.close()
+    }
+    assert(liveSegs === s2, "GC must keep exactly the retained snapshot's segments")
+    assert(Icelite.read(spark, t).count() === 1000)
+    assert(Icelite.verifyLineage(spark, t))
+  }
+
+  test("round-4 inline manifests (files embedded) still read after the segment change") {
+    val t = tmpDir() + "/inline1"
+    Icelite.merge(spark, Seq((1L, "a"), (2L, "b")).toDF("id", "v"), t, Seq("id"), nBuckets = 2)
+    val snap = Icelite.readManifest(t, 1)
+    // rewrite the manifest in the round-4 inline form (same entries, no segments)
+    val inline = snap.files.map(f =>
+      s"""{"path":"${f.path}","mod":${f.mod},"res":${f.res},"rows":${f.rows},"checksum":${f.checksum}}""")
+      .mkString("[", ",", "]")
+    Files.writeString(Paths.get(t, "meta", "snapshot-1.json"),
+      s"""{"id":1,"uuid":"${snap.uuid}","rowCount":${snap.rowCount},
+         |"inputFingerprint":"","nBuckets":2,"bucketSpec":"id",
+         |"files":$inline}""".stripMargin)
+    val back = Icelite.readManifest(t, 1)
+    assert(back.files.toSet === snap.files.toSet)
+    assert(Icelite.read(spark, t).as[(Long, String)].collect().toSet
+      === Set((1L, "a"), (2L, "b")))
+  }
+
   test("unsupported legacy manifest fails loudly instead of reading as empty") {
     val t = tmpDir() + "/legacy1"
     Icelite.merge(spark, Seq((1L, "a")).toDF("id", "v"), t, Seq("id"))
