@@ -837,15 +837,21 @@ object SparkEntry {
     // round-tripped values are oracle-checked here. STABLE cache root (one
     // table per sf dir, reused across invocations — no /tmp leak; bench's
     // timed pass measures the cache-HIT path, which is the operator);
-    // the fingerprint folds in the pages derivation's oracle CTE, so any
-    // change to the derivation invalidates the cache instead of serving
-    // stale rows against a fresh oracle
+    // the fingerprint folds in the whole derivation's oracle SQL (pages CTE
+    // + geocell formula + mask threshold + density math — the oracle IS the
+    // computation's spec) AND the input parquet's (size, mtime), so either a
+    // logic change or regenerated data invalidates the cache instead of
+    // serving stale rows against a fresh oracle
     "q_density_cache" -> ((s, dir) => {
       val pages = Pages.fromDocuments(s, dir)
       val root = java.nio.file.Paths.get(
         sys.props("java.io.tmpdir"), "graft-density-cache").toString
-      val fp = "pages:" + dir + ":" + java.security.MessageDigest.getInstance("MD5")
-        .digest(Pages.docPagesCte.getBytes("UTF-8")).take(4).map(b => f"$b%02x").mkString
+      def md5(x: String) = java.security.MessageDigest.getInstance("MD5")
+        .digest(x.getBytes("UTF-8")).map(b => "%02x".format(b)).mkString.take(12)
+      val src = java.nio.file.Paths.get(s"$dir/documents.parquet")
+      val dataStamp = java.nio.file.Files.size(src) + ":" +
+        java.nio.file.Files.getLastModifiedTime(src).toMillis
+      val fp = s"pages:$dir:${md5(oracleSql("q_density_cache"))}:${md5(dataStamp)}"
       graft.ops.Tiling.densityCached(s, pages, root, fp)
     })
   )

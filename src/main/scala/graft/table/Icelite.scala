@@ -150,23 +150,34 @@ object Icelite {
     // segmented manifest (the Iceberg manifest-list analog): file entries
     // live in content-addressed segment files referenced by name; a round-4
     // inline manifest (entries embedded) still parses
-    val segRefs = """"segments"\s*:\s*\[([^\]]*)\]""".r.findFirstMatchIn(txt)
-      .map(_.group(1)).toSeq
-      .flatMap(inner => """"([^"]+)"""".r.findAllMatchIn(inner).map(_.group(1)))
+    val refs = segmentRefs(txt)
     val files =
-      if (segRefs.nonEmpty)
-        segRefs.flatMap(seg => parseEntries(
+      if (refs.nonEmpty)
+        refs.flatMap(seg => parseEntries(
           Files.readString(metaDir(table).resolve(seg)), nBuckets))
       else parseEntries(txt, nBuckets)
     val rowCount = field("rowCount").toLong
-    if (rowCount > 0 && files.isEmpty)
+    // cross-check the commit-time invariant rowCount == Σ entry rows: a
+    // truncated segment (or an unparseable legacy manifest) yields a
+    // partial-but-nonempty entry list that files.isEmpty alone would miss —
+    // proceeding would silently drop a bucket's rows and let GC delete its
+    // live files
+    if (rowCount != files.map(_.rows).sum)
       throw new IllegalStateException(
-        s"manifest snapshot-$id.json of $table claims $rowCount rows but no " +
-          "parseable file entries — unsupported/corrupt manifest format; refusing " +
-          "to read the table as empty")
+        s"manifest snapshot-$id.json of $table claims $rowCount rows but its " +
+          s"parseable file entries sum to ${files.map(_.rows).sum} " +
+          s"(${files.size} entries) — unsupported/corrupt manifest or segment; " +
+          "refusing to read a partial table")
     Snapshot(field("id").toLong, field("uuid"), files, rowCount,
       field("inputFingerprint"), nBuckets, opt("bucketSpec", ""))
   }
+
+  /** The segment file names a manifest's raw JSON references (shared by the
+    * read path and segment GC — a divergence here would GC live metadata). */
+  private def segmentRefs(manifestTxt: String): Seq[String] =
+    """"segments"\s*:\s*\[([^\]]*)\]""".r.findFirstMatchIn(manifestTxt)
+      .map(_.group(1)).toSeq
+      .flatMap(inner => """"([^"]+)"""".r.findAllMatchIn(inner).map(_.group(1)))
 
   /** Per-file lineage of freshly written parquet under `dataDir`: one scan,
     * grouped by physical file. `dataCols` is the logical schema (the
@@ -203,8 +214,8 @@ object Icelite {
     * grace); the caller clears the marker after commit or abort, and a
     * crashed writer's marker ages out under the inflight TTL.
     */
-  private def writeData(spark: SparkSession, df: DataFrame, table: String): (String, Seq[FileEntry]) = {
-    val uuid = UUID.randomUUID().toString
+  private def writeData(spark: SparkSession, df: DataFrame, table: String,
+                        uuid: String = UUID.randomUUID().toString): (String, Seq[FileEntry]) = {
     val marker = inflightMarker(table, uuid)
     Files.createDirectories(marker.getParent)
     Files.writeString(marker, "")
@@ -305,7 +316,11 @@ object Icelite {
     entries.groupBy(f => if (f.mod > 0) f.res % base else 0).toSeq.sortBy(_._1)
       .map { case (_, fs) =>
         val body = fs.sortBy(_.path).map(entryJson).mkString("[", ",\n", "]")
-        val name = s"segment-${md5hex(body).take(16)}.json"
+        // full 128-bit content hash: this name IS the identity reuse trusts
+        // blindly (Files.exists ⇒ skip write), and a collision would commit
+        // a manifest pointing at another bucket-state's entries — don't thin
+        // the birthday margin to 64 bits to save 16 filename chars
+        val name = s"segment-${md5hex(body)}.json"
         val p = metaDir(table).resolve(name)
         if (!Files.exists(p)) {
           try Files.writeString(p, body, StandardOpenOption.CREATE_NEW)
@@ -411,6 +426,7 @@ object Icelite {
       while (attempt < 8) {
         attempt += 1
         val baseId = currentSnapshotId(table)
+        val attemptUuid = UUID.randomUUID().toString
         try {
         val (carried, toMerge, estRows, atLeastMod): (Seq[FileEntry], DataFrame, Long, Int) =
           baseId match {
@@ -463,7 +479,7 @@ object Icelite {
           .select(df.columns.map(col) :+ col("__slice"): _*)
         // safe to stream from the current snapshot: data is written to a fresh
         // uuid dir, so the plan's input files are never overwritten mid-scan
-        val (uuid, newEntries) = writeData(spark, sliced, table)
+        val (uuid, newEntries) = writeData(spark, sliced, table, attemptUuid)
         commitEntries(table, uuid, carried ++ newEntries, inputFingerprint,
           nBuckets, spec, Some(baseId)) match {
           case Some(snap) => return snap
@@ -476,8 +492,12 @@ object Icelite {
           // newest snapshots) while this attempt is still scanning them —
           // the resulting read failure means "stale base", not "bad data";
           // retry from the advanced snapshot instead of failing the upsert.
-          // Only swallowed when the base demonstrably moved.
-          case e: Throwable if currentSnapshotId(table) != baseId =>
+          // Only non-fatal errors, only when the base demonstrably moved, and
+          // never without dropping the attempt's half-written data + marker
+          // (the marker would otherwise shield the orphan from GC for a day).
+          case scala.util.control.NonFatal(e) if currentSnapshotId(table) != baseId =>
+            deleteRecursively(Paths.get(table, "data", attemptUuid))
+            Files.deleteIfExists(inflightMarker(table, attemptUuid))
             System.err.println(s"[icelite] merge attempt $attempt on $table " +
               s"read a superseded base ($baseId): ${e.getMessage}; retrying")
         }
@@ -655,9 +675,7 @@ object Icelite {
       // segment GC: keep only manifest segments some retained snapshot
       // references (content-addressing shares segments across snapshots)
       val keptSegs: Set[String] = kept.flatMap { id =>
-        val txt = Files.readString(metaDir(table).resolve(s"snapshot-$id.json"))
-        """"segments"\s*:\s*\[([^\]]*)\]""".r.findFirstMatchIn(txt).map(_.group(1)).toSeq
-          .flatMap(inner => """"([^"]+)"""".r.findAllMatchIn(inner).map(_.group(1)))
+        segmentRefs(Files.readString(metaDir(table).resolve(s"snapshot-$id.json")))
       }.toSet
       expired.foreach(id => Files.delete(metaDir(table).resolve(s"snapshot-$id.json")))
       val segLs = Files.list(metaDir(table))

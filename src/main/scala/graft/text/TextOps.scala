@@ -214,7 +214,10 @@ object TextOps {
   def simhashPairs(docs: DataFrame, maxHamming: Int = 3): DataFrame = {
     val blocks = maxHamming + 1
     val blockBits = SimhashBits / blocks
-    val sigs = simhash(docs)
+    // pin the signatures: the multi-index is a union of `blocks` self-joins,
+    // i.e. 2·blocks plan references — without this every branch re-scans and
+    // re-tokenizes+hashes the corpus (8× the work at maxHamming = 3)
+    val sigs = simhash(docs).localCheckpoint()
     def side(tag: String): DataFrame = {
       val cols = col("doc_id").as(s"id_$tag") +: col("simhash").as(s"sh_$tag") +:
         (0 until blocks).map(b => shiftright(col("simhash"), b * blockBits)
