@@ -241,6 +241,30 @@ class IceliteSpec extends SparkSpec {
     assert(Icelite.verifyLineage(spark, t))
   }
 
+  test("diffSnapshots: insert/update/delete deltas, file-pruned, move-invariant (CDC)") {
+    val t = tmpDir() + "/cdc1"
+    Icelite.merge(spark, (1 to 5).map(i => (i.toLong, s"v$i")).toDF("id", "v"),
+      t, Seq("id"), nBuckets = 4)
+    Icelite.merge(spark, Seq((3L, "X3"), (6L, "v6")).toDF("id", "v"), t, Seq("id"),
+      nBuckets = 4)
+    val d12 = Icelite.diffSnapshots(spark, t, 1, 2, Seq("id"))
+      .as[(Long, String, String)].collect().toSet
+    assert(d12 === Set((3L, "X3", "update"), (6L, "v6", "insert")))
+    // delete via a full-overwrite commit dropping id=1
+    Icelite.commit(spark, Icelite.read(spark, t).filter(col("id") =!= 1L), t)
+    val d23 = Icelite.diffSnapshots(spark, t, 2, 3, Seq("id"))
+      .as[(Long, String, String)].collect().toSet
+    assert(d23 === Set((1L, "v1", "delete")))
+    // a compaction rewrites files but changes no rows: empty delta
+    Icelite.merge(spark, Icelite.read(spark, t), t + "_c", Seq("id"), nBuckets = 2)
+    Icelite.compact(spark, t + "_c", maxRowsPerFile = 2)
+    val dc = Icelite.diffSnapshots(spark, t + "_c", 1,
+      Icelite.currentSnapshotId(t + "_c").get, Seq("id"))
+    assert(dc.count() === 0, "moved-but-identical rows must not appear in the delta")
+    // identical snapshot ids: empty
+    assert(Icelite.diffSnapshots(spark, t, 2, 2, Seq("id")).count() === 0)
+  }
+
   test("commit metadata is O(changed buckets): untouched manifest segments are reused by name") {
     def segRefs(t: String, id: Long): Set[String] = {
       val txt = Files.readString(Paths.get(t, "meta", s"snapshot-$id.json"))
