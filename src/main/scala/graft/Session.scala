@@ -9,6 +9,17 @@ import org.apache.spark.sql.SparkSession
   * skewed cell joins get split at runtime (SURVEY.md §4 item 2).
   */
 object Session {
+
+  /** Free the block-cache of a localCheckpoint()ed DataFrame. Dataset
+    * .unpersist only drops CacheManager entries, not the checkpoint RDD's
+    * blocks — long-running drivers that checkpoint in a loop (merge batches,
+    * level probes) otherwise accumulate blocks until the RDD is GC'd.
+    */
+  def freeLocalCheckpoint(df: org.apache.spark.sql.DataFrame): Unit =
+    df.queryExecution.analyzed match {
+      case l: org.apache.spark.sql.execution.LogicalRDD => l.rdd.unpersist(false)
+      case _ => ()
+    }
   def local(cores: Int = 32, appName: String = "graft"): SparkSession = {
     val spark = SparkSession
       .builder()

@@ -82,6 +82,7 @@ object KnnJoin {
     val s = points.sample(sampleFraction, seed = 42L)
       .select(col(lonmCol).as("lonm"), col(latmCol).as("latm"))
       .localCheckpoint()
+    try {
     // ONE pass for a batch of candidate levels: explode (level, cell) pairs,
     // two shuffles total — not one sequential driver-blocking job per level
     def measureMaxOcc(levels: Seq[Int]): Map[Int, Long] = {
@@ -132,6 +133,10 @@ object KnnJoin {
     val rk = math.sqrt(k * areaDeg / (math.Pi * nDedup))
     eligible.filter(level => 180.0 / (1L << level) >= rk).lastOption
       .getOrElse(eligible.head)
+    // free the sample's checkpoint blocks: a long-running driver probing the
+    // level repeatedly (e.g. the knn job in a scheduler loop) must not
+    // accumulate them until GC
+    } finally graft.Session.freeLocalCheckpoint(s)
   }
 
   /** [[knn]] with a density-auto-picked level ([[pickLevel]]); `levelOverride`

@@ -96,16 +96,11 @@ object Icelite {
     }
   }
 
-  /** Free the block-cache of a localCheckpoint()ed DataFrame. Dataset
-    * .unpersist only drops CacheManager entries, not the checkpoint RDD's
-    * blocks — without this, repeated merges in a long-running job (e.g. a
-    * streaming foreachBatch upsert loop) accumulate checkpoint blocks for
-    * the lifetime of the SparkSession. */
+  /** Free a localCheckpoint's blocks after the merge commits or throws —
+    * repeated merges in a long-running job (e.g. a streaming foreachBatch
+    * upsert loop) would otherwise accumulate blocks for the session's life. */
   private def freeLocalCheckpoint(df: DataFrame): Unit =
-    df.queryExecution.analyzed match {
-      case l: org.apache.spark.sql.execution.LogicalRDD => l.rdd.unpersist(false)
-      case _ => ()
-    }
+    graft.Session.freeLocalCheckpoint(df)
 
   def currentSnapshotId(table: String): Option[Long] = {
     val p = currentPtr(table)
