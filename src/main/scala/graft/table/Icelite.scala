@@ -60,11 +60,30 @@ object Icelite {
     * size tracks rows for a fixed schema). */
   val DefaultMaxRowsPerFile: Long = 4000000L
 
+  /** Zone-map width caps: stats cover the first MaxStatsCols eligible
+    * (numeric/string) top-level columns, string bounds truncated to
+    * StatsTruncateLen chars — manifests must stay O(files), not O(data). */
+  val MaxStatsCols = 16
+  val StatsTruncateLen = 24
+
   /** One immutable data file and its hash-slice claim: holds only rows with
     * `pmod(hash(pk…), mod) == res`; mod = 0 ⇒ unsliced (full-overwrite
     * commit, no claim). Lineage = row count + order-independent
-    * xor-of-row-hash checksum. */
-  case class FileEntry(path: String, mod: Int, res: Int, rows: Long, checksum: Long)
+    * xor-of-row-hash checksum.
+    *
+    * `stats` are per-column zone maps (min, max) — the Iceberg
+    * `lower_bounds`/`upper_bounds` manifest-entry analog — for the first
+    * [[MaxStatsCols]] numeric/string top-level columns; [[readWhere]] prunes
+    * files whose range is disjoint from a predicate BEFORE the scan, so a
+    * time- or id-ranged query over a 100 TB table opens only the files that
+    * can match. String bounds are truncated to [[StatsTruncateLen]] chars
+    * (lower bound: plain prefix; upper bound: prefix with the last kept char
+    * incremented — a valid upper bound, exactly Iceberg's truncate(16)
+    * transform) so a manifest never carries page-sized values. Absent stats
+    * (older manifests, dropped bounds) simply mean "never pruned".
+    */
+  case class FileEntry(path: String, mod: Int, res: Int, rows: Long, checksum: Long,
+                       stats: Map[String, (String, String)] = Map.empty)
 
   /** `bucketSpec` records the PK columns (comma-joined, order-sensitive) the
     * slice hashes were computed from; a merge with a different PK spec must
@@ -116,10 +135,17 @@ object Icelite {
     * delete live data.
     */
   private def parseEntries(txt: String, nBuckets: Int): Seq[FileEntry] = {
-    val sliceFiles = """\{"path":"([^"]*)","mod":(\d+),"res":(\d+),"rows":(\d+),"checksum":(-?\d+)\}""".r
+    // stats values are base64 (alphabet has no '"' '{' '}'), so the entry and
+    // inner-pair regexes stay exact on arbitrary data values
+    val statPair = """"([^"]+)":\["([A-Za-z0-9+/=]*)","([A-Za-z0-9+/=]*)"\]""".r
+    def parseStats(s: String): Map[String, (String, String)] =
+      if (s == null || s.isEmpty) Map.empty
+      else statPair.findAllMatchIn(s)
+        .map(m => m.group(1) -> (b64dec(m.group(2)), b64dec(m.group(3)))).toMap
+    val sliceFiles = """\{"path":"([^"]*)","mod":(\d+),"res":(\d+),"rows":(\d+),"checksum":(-?\d+)(?:,"stats":\{([^}]*)\})?\}""".r
       .findAllMatchIn(txt)
       .map(m => FileEntry(m.group(1), m.group(2).toInt, m.group(3).toInt,
-        m.group(4).toLong, m.group(5).toLong))
+        m.group(4).toLong, m.group(5).toLong, parseStats(m.group(6))))
       .toSeq
     if (sliceFiles.nonEmpty) sliceFiles
     else """\{"path":"([^"]*)","bucket":(-?\d+),"rows":(\d+),"checksum":(-?\d+)\}""".r
@@ -182,20 +208,68 @@ object Icelite {
                           dataCols: Seq[String]): Seq[FileEntry] = {
     val written = spark.read.parquet(dataDir.toString)
     val sliceRe = """__slice=(\d+)_(\d+)""".r
+    // zone maps ride the same single pass as the checksum (min/max are
+    // map-side-combinable — the stats cost nothing beyond the scan the
+    // lineage already pays)
+    val statCols = statsEligible(written.schema)
+    val statAggs = statCols.flatMap { case (c, _) =>
+      Seq(min(written(c)).cast("string").as(s"__mn_$c"),
+          max(written(c)).cast("string").as(s"__mx_$c"))
+    }
     written
       .withColumn("__file", input_file_name())
       // order-independent checksum; bit_xor never overflows (ANSI mode is on
       // by default in Spark 4 and sum(long) would throw)
       .groupBy("__file")
       .agg(count(lit(1)).as("rows"),
-        bit_xor(xxhash64(dataCols.map(col): _*)).as("checksum"))
+        (bit_xor(xxhash64(dataCols.map(col): _*)).as("checksum") +: statAggs): _*)
       .collect()
       .map { r =>
         val path = new java.net.URI(r.getString(0)).getPath
         val (mod, res) = sliceRe.findFirstMatchIn(path)
           .map(m => (m.group(1).toInt, m.group(2).toInt)).getOrElse((0, 0))
-        FileEntry(path, mod, res, r.getLong(1), r.getLong(2))
+        val stats = statCols.zipWithIndex.flatMap { case ((c, isString), i) =>
+          val (mn, mx) = (r.getString(3 + 2 * i), r.getString(3 + 2 * i + 1))
+          if (mn == null || mx == null) None // all-null column: no bounds
+          // truncation is a STRING-ordering transform — numeric string forms
+          // are kept whole (a truncated "1.23E15" would corrupt the numeric
+          // compare at prune time; numeric casts are bounded-length anyway)
+          else if (isString) truncateBounds(mn, mx).map(c -> _)
+          else Some(c -> (mn, mx))
+        }.toMap
+        FileEntry(path, mod, res, r.getLong(1), r.getLong(2), stats)
       }.toSeq.sortBy(_.path)
+  }
+
+  /** Top-level columns eligible for zone maps: numeric or string, first
+    * [[MaxStatsCols]] in schema order. (Timestamps/dates are excluded: their
+    * string casts aren't order-faithful across precisions — callers range on
+    * epoch columns, which are numeric.) */
+  private def statsEligible(
+      schema: org.apache.spark.sql.types.StructType): Seq[(String, Boolean)] = {
+    import org.apache.spark.sql.types._
+    schema.fields.iterator
+      .filter(f => f.name != "__slice")
+      .collect {
+        case f if f.dataType == StringType => (f.name, true)
+        case f if f.dataType.isInstanceOf[NumericType] => (f.name, false)
+      }
+      .take(MaxStatsCols).toSeq
+  }
+
+  /** Iceberg truncate-transform bounds: values longer than
+    * [[StatsTruncateLen]] become (prefix(min), prefix(max) with last char
+    * incremented). Returns None when a valid truncated upper bound can't be
+    * built (last kept char is already ￿) — no stats beats wrong stats. */
+  private def truncateBounds(mn: String, mx: String): Option[(String, String)] = {
+    val lo = if (mn.length <= StatsTruncateLen) mn else mn.substring(0, StatsTruncateLen)
+    if (mx.length <= StatsTruncateLen) Some((lo, mx))
+    else {
+      val p = mx.substring(0, StatsTruncateLen)
+      val last = p.charAt(StatsTruncateLen - 1)
+      if (last == Char.MaxValue) None
+      else Some((lo, p.substring(0, StatsTruncateLen - 1) + (last + 1).toChar))
+    }
   }
 
   private def inflightMarker(table: String, uuid: String): Path =
@@ -287,8 +361,19 @@ object Icelite {
     commitEntries(table, uuid, entries, inputFingerprint, 0, "", None).get
   }
 
-  private def entryJson(f: FileEntry): String =
-    s"""{"path":"${f.path}","mod":${f.mod},"res":${f.res},"rows":${f.rows},"checksum":${f.checksum}}"""
+  private def b64enc(s: String): String =
+    java.util.Base64.getEncoder.encodeToString(s.getBytes("UTF-8"))
+  private def b64dec(s: String): String =
+    new String(java.util.Base64.getDecoder.decode(s), "UTF-8")
+
+  private def entryJson(f: FileEntry): String = {
+    val stats =
+      if (f.stats.isEmpty) ""
+      else f.stats.toSeq.sortBy(_._1)
+        .map { case (c, (lo, hi)) => s""""$c":["${b64enc(lo)}","${b64enc(hi)}"]""" }
+        .mkString(""","stats":{""", ",", "}")
+    s"""{"path":"${f.path}","mod":${f.mod},"res":${f.res},"rows":${f.rows},"checksum":${f.checksum}$stats}"""
+  }
 
   private def md5hex(s: String): String =
     java.security.MessageDigest.getInstance("MD5")
@@ -593,6 +678,50 @@ object Icelite {
     val snap = readManifest(table, id)
     if (snap.files.isEmpty) spark.emptyDataFrame
     else spark.read.parquet(snap.filePaths: _*)
+  }
+
+  /** Manifest-level data skipping (the Iceberg scan-planning analog): read
+    * only the files whose zone map can intersect `[lo, hi]` on `column`,
+    * with the exact range filter applied on top (stats pruning is an IO
+    * optimization, never a semantics change — files without stats are always
+    * read). Parquet row-group stats prune WITHIN a file only after its footer
+    * is opened; manifest stats prune the file list on the driver before the
+    * scan is even planned, which at the 10^6-file design point is the
+    * difference between listing/opening every file and touching only the
+    * matching ones.
+    */
+  def readWhere(spark: SparkSession, table: String, column: String,
+                lo: Any, hi: Any): DataFrame = {
+    val id = currentSnapshotId(table).getOrElse(
+      throw new IllegalStateException(s"no committed snapshot in $table"))
+    val snap = readManifest(table, id)
+    if (snap.files.isEmpty) return spark.emptyDataFrame
+    val keep = pruneFiles(snap.files, column, lo, hi)
+    val base =
+      if (keep.isEmpty)
+        // everything pruned: preserve the schema via an empty scan
+        spark.read.parquet(snap.files.head.path).where(lit(false))
+      else spark.read.parquet(keep.map(_.path): _*)
+    base.where(col(column) >= lit(lo) && col(column) <= lit(hi))
+  }
+
+  /** The manifest-pruning half of [[readWhere]], exposed for tests and scan
+    * metrics: the files whose stats cannot exclude `[lo, hi]` on `column`.
+    * Bounds compare numerically when the caller's bounds are numbers (stats
+    * strings that don't parse — NaN/Infinity — disable pruning for that
+    * file), lexically for strings (sound with truncated bounds: the stored
+    * upper bound is ≥ every value in the file by construction).
+    */
+  def pruneFiles(files: Seq[FileEntry], column: String,
+                 lo: Any, hi: Any): Seq[FileEntry] = {
+    val numeric = lo.isInstanceOf[Number] && hi.isInstanceOf[Number]
+    def overlaps(mn: String, mx: String): Boolean =
+      if (numeric) {
+        try !(BigDecimal(mx) < BigDecimal(lo.toString) ||
+              BigDecimal(mn) > BigDecimal(hi.toString))
+        catch { case _: NumberFormatException => true }
+      } else !(mx < lo.toString || mn > hi.toString)
+    files.filter(_.stats.get(column).forall { case (mn, mx) => overlaps(mn, mx) })
   }
 
   /** Incremental snapshot diff (the Iceberg changelog-scan analog): the rows

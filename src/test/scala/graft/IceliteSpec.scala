@@ -308,7 +308,10 @@ class IceliteSpec extends SparkSpec {
          |"inputFingerprint":"","nBuckets":2,"bucketSpec":"id",
          |"files":$inline}""".stripMargin)
     val back = Icelite.readManifest(t, 1)
-    assert(back.files.toSet === snap.files.toSet)
+    // legacy inline entries carry no zone-map stats — identity modulo stats
+    assert(back.files.map(_.copy(stats = Map.empty)).toSet
+      === snap.files.map(_.copy(stats = Map.empty)).toSet)
+    assert(back.files.forall(_.stats.isEmpty))
     assert(Icelite.read(spark, t).as[(Long, String)].collect().toSet
       === Set((1L, "a"), (2L, "b")))
   }
@@ -515,5 +518,87 @@ class IceliteSpec extends SparkSpec {
     val deep = graft.sources.PathList.expand(spark, root.toString, "_dem.tif", minDepth = 2)
       .as[String].collect().toSet
     assert(deep === Set(sub.resolve("b_dem.tif").toString))
+  }
+}
+
+/** Per-file zone maps (Iceberg lower/upper-bounds analog) + manifest-level
+  * data skipping. */
+class ZoneMapSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def tmpDir(): String =
+    Files.createTempDirectory("zonemap").toString
+
+  test("readWhere prunes range scans at the manifest level; results exact") {
+    val t = tmpDir() + "/z1"
+    val df = (0 until 20000).map(i => (i.toLong, 1700000000L + i, s"name_$i"))
+      .toDF("id", "ts", "name")
+      .repartitionByRange(8, col("ts")) // time-clustered files, like an append-by-day table
+    Icelite.commit(spark, df, t)
+    val snap = Icelite.readManifest(t, Icelite.currentSnapshotId(t).get)
+    assert(snap.files.size === 8)
+    assert(snap.files.forall(_.stats.contains("ts")))
+    val keep = Icelite.pruneFiles(snap.files, "ts", 1700005000L, 1700007000L)
+    assert(keep.size < snap.files.size, s"pruning must drop files (kept ${keep.size}/8)")
+    val got = Icelite.readWhere(spark, t, "ts", 1700005000L, 1700007000L)
+      .as[(Long, Long, String)].collect().toSet
+    val want = Icelite.read(spark, t)
+      .filter(col("ts") >= 1700005000L && col("ts") <= 1700007000L)
+      .as[(Long, Long, String)].collect().toSet
+    assert(got === want)
+    assert(got.size === 2001)
+    // fully-out-of-range scan: zero files, empty result, schema preserved
+    val none = Icelite.readWhere(spark, t, "ts", 0L, 10L)
+    assert(none.count() === 0)
+    assert(none.columns.toSeq === Seq("id", "ts", "name"))
+  }
+
+  test("string bounds are truncated soundly (prefix lower, incremented upper)") {
+    val t = tmpDir() + "/z2"
+    val longPfx = "a" * 30 // longer than StatsTruncateLen
+    val df = (0 until 100).map(i => (i.toLong, f"$longPfx$i%03d")).toDF("id", "s")
+      .repartitionByRange(4, col("s"))
+    Icelite.commit(spark, df, t)
+    val snap = Icelite.readManifest(t, Icelite.currentSnapshotId(t).get)
+    val st = snap.files.flatMap(_.stats.get("s"))
+    assert(st.nonEmpty)
+    assert(st.forall { case (lo, hi) =>
+      lo.length <= Icelite.StatsTruncateLen && hi.length <= Icelite.StatsTruncateLen })
+    // truncated bounds stay sound: an exact-value range query still finds its row
+    val got = Icelite.readWhere(spark, t, "s", s"${longPfx}042", s"${longPfx}042")
+      .as[(Long, String)].collect()
+    assert(got.toSeq === Seq((42L, s"${longPfx}042")))
+  }
+
+  test("merge carries stats on untouched files; rewritten slices get fresh stats") {
+    val t = tmpDir() + "/z3"
+    val b1 = (0 until 4000).map(i => (i.toLong, s"v$i")).toDF("id", "v")
+    Icelite.merge(spark, b1, t, Seq("id"), nBuckets = 4)
+    val s1 = Icelite.readManifest(t, Icelite.currentSnapshotId(t).get)
+    assert(s1.files.forall(f => f.stats.contains("id") && f.stats.contains("v")))
+    // touch ONE id: only its slice rewrites; carried entries keep stats verbatim
+    val b2 = Seq((17L, "updated")).toDF("id", "v")
+    Icelite.merge(spark, b2, t, Seq("id"), nBuckets = 4)
+    val s2 = Icelite.readManifest(t, Icelite.currentSnapshotId(t).get)
+    val carried = s2.files.filter(f => s1.files.exists(_.path == f.path))
+    assert(carried.nonEmpty)
+    carried.foreach { f =>
+      assert(f.stats === s1.files.find(_.path == f.path).get.stats) }
+    assert(s2.files.forall(_.stats.contains("id")))
+    // pruning on the PK: hash slices span the full range, so nothing prunes —
+    // but nothing is WRONGLY pruned either
+    val got = Icelite.readWhere(spark, t, "id", 17L, 17L)
+      .as[(Long, String)].collect()
+    assert(got.toSeq === Seq((17L, "updated")))
+  }
+
+  test("entries without stats are never pruned (legacy manifests)") {
+    val legacy = Seq(
+      Icelite.FileEntry("/x/a.parquet", 0, 0, 10, 1L),
+      Icelite.FileEntry("/x/b.parquet", 0, 0, 10, 2L, Map("id" -> ("0", "5"))))
+    val kept = Icelite.pruneFiles(legacy, "id", 100L, 200L)
+    assert(kept.map(_.path) === Seq("/x/a.parquet"))
+    // stats on a different column don't affect pruning on this one
+    assert(Icelite.pruneFiles(legacy, "other", 1L, 2L).size === 2)
   }
 }
