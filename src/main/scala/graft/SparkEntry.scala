@@ -7,7 +7,7 @@ import graft.geom.Geom
 import graft.ops.{Canonical, KnnJoin, PipJoin, Tiling}
 import graft.pages.{Ladder, Pages}
 import graft.sim.Ann
-import graft.text.TextOps
+import graft.text.{TextOps, UrlOps}
 
 /** Driver contract — one `queries` entry per implemented operator from
   * SURVEY.md §2, each with an equivalent DuckDB SQL oracle where the
@@ -35,6 +35,48 @@ object SparkEntry {
 
   private def withCtes(body: String, ctes: String*): String =
     s"WITH ${ctes.mkString(",\n")}\n$body"
+
+  private def withRecursiveCtes(body: String, ctes: String*): String =
+    s"WITH RECURSIVE ${ctes.mkString(",\n")}\n$body"
+
+  /** CTE chain ending in `pairs(doc_a, doc_b)` — the MinHash LSH candidate
+    * pairs (mirrors [[TextOps.minhashPairs]]; shared by the cluster oracles).
+    */
+  private lazy val minhashPairCtes: Seq[String] = {
+    val minExprs = (0 until TextOps.NumHashes).map { j =>
+      s"min((h * ${2 * j + 1} + ${12345 * j + 7}) % ${TextOps.MinhashP}) AS mh_$j"
+    }.mkString(",\n         ")
+    val bandSelects = (0 until TextOps.NumHashes / TextOps.BandRows).map { b =>
+      val key = (0 until TextOps.BandRows)
+        .map(r => s"mh_${b * TextOps.BandRows + r}").mkString(", ")
+      s"SELECT doc_id, CAST($b AS BIGINT) AS band, concat_ws('_', $key) AS band_key FROM mh"
+    }.mkString("\nUNION ALL\n")
+    Seq(toksCte, shinglesCte,
+      s"""hv AS (SELECT doc_id, ${h32sql("sg")} AS h
+         |       FROM (SELECT doc_id, unnest(s) AS sg FROM sh))""".stripMargin,
+      s"""mh AS (SELECT doc_id,
+         |         $minExprs
+         |       FROM hv GROUP BY doc_id)""".stripMargin,
+      s"bands AS (\n$bandSelects)",
+      """pairs AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        |          FROM bands a JOIN bands b
+        |            ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id)""".stripMargin)
+  }
+
+  /** minhashPairCtes + recursive reachability closure → `cl(doc_id,
+    * cluster_id)` with cluster_id = min doc_id in the connected component
+    * (the oracle twin of [[graft.ops.ConnectedComponents]]; the closure is
+    * quadratic but runs only at oracle scale). Requires withRecursiveCtes.
+    */
+  private lazy val clusterCtes: Seq[String] = minhashPairCtes ++ Seq(
+    "edges AS (SELECT doc_a AS u, doc_b AS v FROM pairs UNION SELECT doc_b, doc_a FROM pairs)",
+    """reach(src, dst) AS (
+      |  SELECT u, v FROM edges
+      |  UNION
+      |  SELECT r.src, e.v FROM reach r JOIN edges e ON e.u = r.dst)""".stripMargin,
+    "lbl AS (SELECT src AS doc_id, min(dst) AS mn FROM reach GROUP BY src)",
+    """cl AS (SELECT d.doc_id, least(d.doc_id, coalesce(l.mn, d.doc_id)) AS cluster_id
+      |       FROM documents d LEFT JOIN lbl l ON l.doc_id = d.doc_id)""".stripMargin)
 
   private val geocellSql =
     """CASE WHEN lat >= 0 THEN 'n' ELSE 's' END ||
@@ -278,6 +320,47 @@ object SparkEntry {
     // hamming verify — completes the simhash family's pair path)
     "q_simhash_pairs" -> ((s, dir) =>
       TextOps.simhashPairs(s.read.parquet(s"$dir/documents.parquet"), maxHamming = 3)),
+
+    // --- dedup: cluster resolution — connected components (alternating
+    // star contraction) over the MinHash candidate pairs; every doc gets a
+    // cluster_id (= min doc_id in its component), singletons included
+    "q_dedup_clusters" -> ((s, dir) => {
+      val docs = s.read.parquet(s"$dir/documents.parquet")
+      TextOps.dupClusters(docs, TextOps.minhashPairs(docs))
+    }),
+
+    // --- dedup: representative selection — one survivor per duplicate
+    // cluster, the highest-quality doc (ties → lowest doc_id)
+    "q_dedup_keep" -> ((s, dir) => {
+      val docs = s.read.parquet(s"$dir/documents.parquet")
+      TextOps.keepBest(docs, TextOps.minhashPairs(docs))
+    }),
+
+    // --- text: cross-doc boilerplate n-grams (global-frequency cleaning —
+    // shingles in ≥ minDf distinct docs are chrome/footer content)
+    "q_boilerplate" -> ((s, dir) =>
+      TextOps.boilerplate(s.read.parquet(s"$dir/documents.parquet"), minDf = 5)),
+
+    // --- text: URL canonicalization (the dedup key a crawl pipeline uses
+    // BEFORE content hashing). The fixture's URLs are uniform, so the query
+    // deterministically decorates them with the real-world mess first —
+    // tracking params, default/explicit ports, case variants, trailing
+    // slashes, fragments — then normalizes; the oracle mirrors both steps.
+    "q_url_normalize" -> ((s, dir) => {
+      val docs = s.read.parquet(s"$dir/documents.parquet")
+      val base = concat(col("lang"), lit("/doc-"), col("doc_id").cast("string"))
+      val raw = when(col("doc_id") % 5 === 0,
+          concat(lit("HTTP://WWW.Example.org:80/"), base, lit("/?utm_source=feed&b=2&a=1#frag")))
+        .when(col("doc_id") % 5 === 1, concat(lit("https://Example.org:443/"), base))
+        .when(col("doc_id") % 5 === 2,
+          concat(lit("https://sub.example.co.uk/"), base, lit("?gclid=xyz")))
+        .when(col("doc_id") % 5 === 3, concat(lit("http://example.org:8080/"), base, lit("/")))
+        .otherwise(concat(lit("https://example.org/"), base))
+      docs.select(col("doc_id"), raw.as("url_raw"))
+        .withColumn("url_norm", UrlOps.normalize(col("url_raw")))
+        .withColumn("host", UrlOps.hostOf(col("url_raw")))
+        .withColumn("domain", UrlOps.registeredDomain(col("host")))
+    }),
 
     // --- similarity: exact brute-force cosine top-k
     "q_ann_brute" -> ((s, dir) =>
@@ -1073,6 +1156,78 @@ object SparkEntry {
            |       FROM hv GROUP BY doc_id)""".stripMargin,
         s"bands AS (\n$bandSelects)")
     },
+
+    "q_dedup_clusters" -> withRecursiveCtes(
+      """SELECT doc_id, cluster_id,
+        |       count(*) OVER (PARTITION BY cluster_id) AS cluster_size
+        |FROM cl""".stripMargin, clusterCtes: _*),
+
+    "q_boilerplate" -> withCtes(
+      """SELECT d.doc_id, coalesce(t.n_sh, 0) AS n_sh, coalesce(p.n_boiler, 0) AS n_boiler,
+        |       CASE WHEN coalesce(t.n_sh, 0) > 0
+        |            THEN round(coalesce(p.n_boiler, 0) / t.n_sh, 6) END AS boiler_ratio
+        |FROM documents d
+        |LEFT JOIN tot t ON t.doc_id = d.doc_id
+        |LEFT JOIN per p ON p.doc_id = d.doc_id""".stripMargin,
+      toksCte, shinglesCte,
+      s"""ex AS (SELECT DISTINCT doc_id, ${h32sql("sg")} AS s
+         |       FROM (SELECT doc_id, unnest(s) AS sg FROM sh))""".stripMargin,
+      "dfc AS (SELECT s, count(*) AS df FROM ex GROUP BY s)",
+      "b AS (SELECT s FROM dfc WHERE df >= 5)",
+      "per AS (SELECT e.doc_id, count(*) AS n_boiler FROM ex e JOIN b USING (s) GROUP BY e.doc_id)",
+      "tot AS (SELECT doc_id, count(*) AS n_sh FROM ex GROUP BY doc_id)"),
+
+    "q_url_normalize" -> withCtes(
+      """SELECT doc_id, url_raw,
+        |  CASE WHEN scheme = '' THEN url_raw ELSE
+        |    scheme || '://' || host ||
+        |    CASE WHEN port <> '' AND NOT (scheme = 'http' AND port = '80')
+        |              AND NOT (scheme = 'https' AND port = '443')
+        |         THEN ':' || port ELSE '' END ||
+        |    path || CASE WHEN q <> '' THEN '?' || q ELSE '' END END AS url_norm,
+        |  host,
+        |  CASE WHEN len(hl) >= 3 AND (hl[-2] || '.' || hl[-1]) IN ('co.uk','com.au','co.jp','com.br','co.in')
+        |         THEN hl[-3] || '.' || hl[-2] || '.' || hl[-1]
+        |       WHEN len(hl) >= 2 THEN hl[-2] || '.' || hl[-1]
+        |       ELSE host END AS domain
+        |FROM (SELECT *, string_split(host, '.') AS hl FROM parts)""".stripMargin,
+      """u AS (
+        |  SELECT doc_id,
+        |    CASE CAST(doc_id % 5 AS INT)
+        |      WHEN 0 THEN 'HTTP://WWW.Example.org:80/' || lang || '/doc-' || CAST(doc_id AS VARCHAR) || '/?utm_source=feed&b=2&a=1#frag'
+        |      WHEN 1 THEN 'https://Example.org:443/' || lang || '/doc-' || CAST(doc_id AS VARCHAR)
+        |      WHEN 2 THEN 'https://sub.example.co.uk/' || lang || '/doc-' || CAST(doc_id AS VARCHAR) || '?gclid=xyz'
+        |      WHEN 3 THEN 'http://example.org:8080/' || lang || '/doc-' || CAST(doc_id AS VARCHAR) || '/'
+        |      ELSE 'https://example.org/' || lang || '/doc-' || CAST(doc_id AS VARCHAR)
+        |    END AS url_raw
+        |  FROM documents)""".stripMargin,
+      """parts AS (
+        |  SELECT doc_id, url_raw,
+        |    lower(regexp_extract(url_raw, '^([a-zA-Z][a-zA-Z0-9+.-]*)://', 1)) AS scheme,
+        |    regexp_replace(regexp_replace(lower(regexp_extract(url_raw, '^[^:]+://([^/?#]*)', 1)), ':[0-9]+$', ''), '^www\.', '') AS host,
+        |    regexp_extract(url_raw, '^[^:]+://[^/?#]*:([0-9]+)', 1) AS port,
+        |    regexp_replace(regexp_extract(url_raw, '^[^:]+://[^/?#]*([^?#]*)', 1), '/+$', '') AS path,
+        |    array_to_string(list_sort(list_filter(string_split(regexp_extract(url_raw, '\?([^#]*)', 1), '&'),
+        |      p -> p <> '' AND NOT regexp_matches(p, '^(utm_[^=]*|fbclid|gclid|msclkid)(=|$)'))), '&') AS q
+        |  FROM u)""".stripMargin),
+
+    "q_dedup_keep" -> withRecursiveCtes(
+      """SELECT cluster_id, doc_id AS keep_id, quality_score AS keep_quality,
+        |       CAST(n_docs AS BIGINT) AS n_docs
+        |FROM (
+        |  SELECT c.cluster_id, c.doc_id, q.quality_score,
+        |         count(*) OVER (PARTITION BY c.cluster_id) AS n_docs,
+        |         row_number() OVER (PARTITION BY c.cluster_id
+        |                            ORDER BY q.quality_score DESC, c.doc_id ASC) AS rn
+        |  FROM cl c JOIN qual q ON q.doc_id = c.doc_id)
+        |WHERE rn = 1""".stripMargin,
+      (clusterCtes :+
+        """qual AS (
+          |  SELECT doc_id, round(
+          |    (CAST(len(list_filter(t, w -> w IN ('the','a','of','and','to','in','is','on'))) AS DOUBLE) / len(t)) * 2.0
+          |    - (CAST(length(regexp_extract_all(text, '[^a-zA-Z0-9 ]')) AS DOUBLE) / length(text)) * 5.0
+          |    + CASE WHEN len(t) >= 10 AND len(t) <= 1000 THEN 1.0 ELSE 0.0 END, 6) AS quality_score
+          |  FROM toks)""".stripMargin): _*),
 
     "q_simhash" -> {
       val votes = (0 until TextOps.SimhashBits)

@@ -1,0 +1,116 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.Session
+
+/** Distributed connected components over a candidate-pair edge list via the
+  * alternating Large-Star / Small-Star algorithm (Kiveris, Lattanzi,
+  * Mirrokni, Rastogi, Vassilvitskii — "Connected Components in MapReduce and
+  * Beyond", SoCC 2014).
+  *
+  * This is the cluster-resolution stage a training-data dedup pipeline runs
+  * AFTER candidate-pair generation ([[graft.text.TextOps.minhashPairs]],
+  * [[graft.text.TextOps.simhashPairs]], [[graft.sim.Ann.lshPairsBanded]]):
+  * near-dup pairs form a graph whose components are the duplicate clusters;
+  * each cluster keeps one canonical representative.
+  *
+  * Why star-contraction and not naive label propagation: propagation needs
+  * O(diameter) rounds — a chain of pairwise near-dups (mirror sites A≈B≈C≈…)
+  * makes that linear in the cluster size. Alternating star rounds provably
+  * converge in O(log² n) (O(log n) observed) regardless of topology, and
+  * every round is shuffle-shaped work Spark does well: ONE groupBy on node id
+  * (map-side combinable min) plus ONE equi-join back to the edge list — no
+  * all-pairs closure, no driver-side graph. Edge sets only shrink toward the
+  * star forest, so the peak shuffle is the first round (≈ the candidate-pair
+  * count, already bucket-bounded upstream).
+  *
+  * Each round pins its edge list with `localCheckpoint` (the iterative plan
+  * would otherwise double its lineage every round and re-run ALL prior
+  * rounds per action) and frees the previous round's blocks, so a driver can
+  * run this inside a long-lived scheduler loop without accumulating storage.
+  */
+object ConnectedComponents {
+
+  /** Max alternating rounds before declaring non-convergence. The bound is
+    * O(log² n) in theory and single digits in practice — 64 is a diagnostic
+    * backstop (≈ any real input converges in < 20), not a tuning knob.
+    */
+  val MaxRounds = 64
+
+  /** Large-Star: every node connects its strictly-larger neighbors to the
+    * minimum of its closed neighborhood. Input edges are directed
+    * (u > v); output edges stay directed.
+    */
+  private def largeStar(e: DataFrame): DataFrame = {
+    val sym = e.unionByName(e.select(col("v").as("u"), col("u").as("v")))
+    val m = sym.groupBy("u")
+      .agg(min("v").as("mn"))
+      .select(col("u"), least(col("u"), col("mn")).as("m"))
+    sym.join(m, "u")
+      .where(col("v") > col("u") && col("v") =!= col("m"))
+      .select(col("v").as("u"), col("m").as("v"))
+      .distinct()
+  }
+
+  /** Small-Star: every node connects its smaller neighbors (and itself) to
+    * the minimum of its smaller neighborhood. Input/output edges directed
+    * (u > v).
+    */
+  private def smallStar(e: DataFrame): DataFrame = {
+    val m = e.groupBy("u").agg(min("v").as("m"))
+    val leaves = e.join(m, "u")
+      .where(col("v") =!= col("m"))
+      .select(col("v").as("u"), col("m").as("v"))
+    val centers = m.select(col("u"), col("m").as("v"))
+    leaves.unionByName(centers)
+      .where(col("u") =!= col("v"))
+      .distinct()
+  }
+
+  /** (node, component) for every node that appears in `pairs` (two columns:
+    * endpoints of an undirected edge; self-loops ignored). `component` is the
+    * minimum node id reachable from the node. Nodes NOT in any pair don't
+    * appear — callers left-join and coalesce to the node's own id.
+    */
+  def components(pairs: DataFrame): DataFrame = {
+    val Seq(a, b) = pairs.columns.toSeq.take(2).map(col)
+    var edges = pairs
+      .select(greatest(a, b).as("u"), least(a, b).as("v"))
+      .where(col("u") =!= col("v"))
+      .distinct()
+      .localCheckpoint()
+    // fixed-point check on a canonical multiset digest: one cheap aggregate
+    // instead of a two-way anti-join per round. A digest collision could only
+    // stop one round early, and the terminal star forest is itself a fixed
+    // point of both rules, so iterating from a near-converged state is
+    // harmless.
+    // decimal(38,0) sum: a long sum of 64-bit hashes overflows (ANSI throws)
+    def digest(d: DataFrame): (Long, String) = {
+      val r = d.agg(
+        count(lit(1)).as("n"),
+        coalesce(sum(xxhash64(col("u"), col("v")).cast("decimal(38,0)")),
+          lit(0).cast("decimal(38,0)")).as("h")
+      ).head()
+      (r.getLong(0), String.valueOf(r.get(1)))
+    }
+    var converged = false
+    var rounds = 0
+    while (!converged && rounds < MaxRounds) {
+      rounds += 1
+      val next = smallStar(largeStar(edges)).localCheckpoint()
+      converged = digest(next) == digest(edges)
+      // intermediate rounds' blocks are freed eagerly; the terminal edge
+      // list stays pinned because the returned plan reads it (and it is
+      // small: at most one edge per non-root node)
+      Session.freeLocalCheckpoint(edges)
+      edges = next
+    }
+    require(converged, s"connected components did not converge in $MaxRounds rounds")
+    // terminal star forest: every edge is (leaf > root); roots label themselves
+    edges.select(col("u").as("node"), col("v").as("component"))
+      .unionByName(edges.select(col("v").as("node"), col("v").as("component")))
+      .distinct()
+  }
+}

@@ -179,6 +179,52 @@ object TextOps {
       .distinct()
   }
 
+  /** Incremental MinHash dedup against a persistent signature table — the
+    * shape a 100 TB corpus actually runs: signatures are computed ONCE per
+    * document (per-row kernel over the new batch only) and upserted into an
+    * [[graft.table.Icelite]] band-index table; candidate pairs for the batch
+    * are (batch ⋈ corpus-index) ∪ (batch ⋈ batch) bucket equi-joins. A daily
+    * ingest therefore costs O(batch) signature compute + O(batch) index
+    * merge (hash-slice claims rewrite only intersecting files) + one
+    * map-side pass over the corpus index (the batch side is the small side —
+    * AQE broadcasts it, so the corpus bands never shuffle, never sort, never
+    * pair up outside shared buckets).
+    *
+    * Returns the batch's candidate pairs (doc_a < doc_b, distinct), i.e.
+    * every pair involving at least one batch document. Idempotent: re-running
+    * the same batch returns the same pairs (self-matches against the already
+    * -merged copy are excluded by doc_id inequality) and the merge converges.
+    * The union over successive batches equals [[minhashPairs]] of the full
+    * corpus (spec-asserted).
+    */
+  def incrementalDedup(spark: org.apache.spark.sql.SparkSession, batch: DataFrame,
+                       sigTable: String): DataFrame = {
+    import graft.table.Icelite
+    // pinned: referenced by two join branches and the merge — unpinned, the
+    // corpus-sized shingle+minhash kernel would re-run three times
+    val batchBands = minhashBands(batch).localCheckpoint()
+    try {
+      val corpus = Icelite.currentSnapshotId(sigTable) match {
+        case Some(id) => Icelite.readAt(spark, sigTable, id) // pinned snapshot id
+        case None => spark.createDataFrame(
+          new java.util.ArrayList[org.apache.spark.sql.Row](), batchBands.schema)
+      }
+      val newVsCorpus = batchBands.as("n").join(corpus.as("c"),
+          col("n.band") === col("c.band") && col("n.band_key") === col("c.band_key")
+            && col("n.doc_id") =!= col("c.doc_id"))
+        .select(least(col("n.doc_id"), col("c.doc_id")).as("doc_a"),
+          greatest(col("n.doc_id"), col("c.doc_id")).as("doc_b"))
+      val newVsNew = batchBands.as("a").join(batchBands.as("b"),
+          col("a.band") === col("b.band") && col("a.band_key") === col("b.band_key")
+            && col("a.doc_id") < col("b.doc_id"))
+        .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      // materialized (eager checkpoint) so freeing batchBands below is safe
+      val pairs = newVsCorpus.unionByName(newVsNew).distinct().localCheckpoint()
+      Icelite.merge(spark, batchBands, sigTable, pkCols = Seq("doc_id", "band"))
+      pairs
+    } finally graft.Session.freeLocalCheckpoint(batchBands)
+  }
+
   val SimhashBits = 24
 
   /** SimHash: per-token 32-bit hash, per-bit ±1 votes summed over the
@@ -235,6 +281,85 @@ object TextOps {
           bit_count(col("sh_a").bitwiseXOR(col("sh_b"))).cast("long").as("hamming"))
     }
     perBlock.reduce(_ unionByName _).filter(col("hamming") <= maxHamming)
+  }
+
+  /** Cross-document boilerplate detection: shingles that appear in at least
+    * `minDf` DISTINCT documents are boilerplate (navigation chrome, license
+    * footers, cookie banners — content whose frequency, not wording, marks
+    * it); per document, report how much of it is boilerplate. This is the
+    * n-gram-granular form of the repeated-substring cleaning step web-corpus
+    * pipelines run after URL/content dedup. Output
+    * (doc_id, n_sh, n_boiler, boiler_ratio) — ratio null for docs with no
+    * shingles.
+    *
+    * Scale: one shuffle on 8-byte shingle hashes for the DF count (map-side
+    * combinable), an equi-join back (the boilerplate set is the small side —
+    * broadcastable at any realistic minDf), one per-doc aggregate. Never
+    * materializes pairs; document bodies never shuffle.
+    */
+  def boilerplate(docs: DataFrame, minDf: Int = 5): DataFrame = {
+    val ex = docs.select(col("doc_id"),
+      explode(array_distinct(shingleHashes(col("text"), 3))).as("s"))
+    val boiler = ex.groupBy("s").agg(count(lit(1)).as("__df"))
+      .filter(col("__df") >= minDf).select("s")
+    val per = ex.join(boiler, Seq("s"))
+      .groupBy("doc_id").agg(count(lit(1)).as("n_boiler"))
+    val tot = ex.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
+    docs.select(col("doc_id"))
+      .join(tot, Seq("doc_id"), "left")
+      .join(per, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_sh"), lit(0L)).as("n_sh"),
+        coalesce(col("n_boiler"), lit(0L)).as("n_boiler"))
+      .withColumn("boiler_ratio",
+        when(col("n_sh") > 0,
+          round(col("n_boiler").cast("double") / col("n_sh"), 6)))
+  }
+
+  /** Duplicate-cluster resolution: connected components over a near-dup
+    * candidate pair list ([[minhashPairs]] by default), labelling EVERY doc —
+    * docs in no pair are their own singleton cluster. Output
+    * (doc_id, cluster_id, cluster_size) where cluster_id is the minimum
+    * doc_id in the component.
+    *
+    * Scale: the component step is alternating star contraction
+    * ([[graft.ops.ConnectedComponents]]) — O(log n) one-shuffle rounds over
+    * the pair list, never over the corpus; the final label join is a join on
+    * doc_id (and the component side is ≤ the number of paired docs, i.e.
+    * usually a small fraction of the corpus at web scale).
+    */
+  def dupClusters(docs: DataFrame, pairs: DataFrame): DataFrame = {
+    val comp = graft.ops.ConnectedComponents
+      .components(pairs.select(col("doc_a"), col("doc_b")))
+      .withColumnRenamed("node", "doc_id")
+    val labelled = docs.select(col("doc_id"))
+      .join(comp, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("component"), col("doc_id")).as("cluster_id"))
+    labelled.withColumn("cluster_size",
+      count(lit(1)).over(Window.partitionBy(col("cluster_id"))))
+  }
+
+  /** Representative selection: per duplicate cluster keep the
+    * highest-quality document (ties → lowest doc_id). Output one row per
+    * cluster: (cluster_id, keep_id, keep_quality, n_docs). This is the final
+    * stage of the dedup pipeline — pairs → clusters → one survivor each.
+    *
+    * One window over cluster_id (the cluster table, not the corpus text);
+    * quality comes from [[qualityScore]] so the scan computes it narrowly
+    * before the shuffle.
+    */
+  def keepBest(docs: DataFrame, pairs: DataFrame): DataFrame = {
+    val clusters = dupClusters(docs, pairs)
+    val quality = qualityScore(docs).select(col("doc_id"), col("quality_score"))
+    val w = Window.partitionBy(col("cluster_id"))
+      .orderBy(col("quality_score").desc, col("doc_id").asc)
+    clusters.join(quality, Seq("doc_id"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("cluster_id"), col("doc_id").as("keep_id"),
+        col("quality_score").as("keep_quality"),
+        col("cluster_size").cast("long").as("n_docs"))
   }
 
   /** (retired per-row-array formulation kept for reference tests) */

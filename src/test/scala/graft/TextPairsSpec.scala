@@ -31,3 +31,101 @@ class TextPairsSpec extends SparkSpec {
     assert(got.nonEmpty, "fixture must contain near-dup pairs for the test to bite")
   }
 }
+
+/** Connected-components cluster resolution vs a driver-side union-find. */
+class ComponentsSpec extends SparkSpec {
+  import spark.implicits._
+
+  /** brute union-find over collected edges */
+  private def bruteComponents(nodes: Seq[Long], edges: Seq[(Long, Long)]): Map[Long, Long] = {
+    val parent = scala.collection.mutable.Map[Long, Long](nodes.map(n => n -> n): _*)
+    def find(x: Long): Long = {
+      var r = x
+      while (parent(r) != r) r = parent(r)
+      var c = x
+      while (parent(c) != r) { val n = parent(c); parent(c) = r; c = n }
+      r
+    }
+    edges.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    // canonical label = min node in component
+    val byRoot = nodes.groupBy(find)
+    byRoot.flatMap { case (_, ns) => val m = ns.min; ns.map(_ -> m) }
+  }
+
+  test("alternating-star components match union-find on adversarial graph shapes") {
+    // chains (worst case for label propagation), stars, cliques, singleton
+    // islands, plus a deterministic pseudo-random graph
+    val rng = new scala.util.Random(42)
+    val chain = (0L until 40L).sliding(2).map(s => (s(0) + 1000, s(1) + 1000)).toSeq
+    val star = (1L to 30L).map(i => (2000L, 2000L + i))
+    val clique = for (i <- 0 until 8; j <- i + 1 until 8) yield (3000L + i, 3000L + j)
+    val random = Seq.fill(120)((rng.nextInt(60).toLong + 4000L, rng.nextInt(60).toLong + 4000L))
+      .filter(p => p._1 != p._2)
+    // reversed-order chain: descending ids stress the orientation logic
+    val revChain = (0L until 25L).sliding(2).map(s => (5025L - s(0), 5025L - s(1))).toSeq
+    val edges = chain ++ star ++ clique ++ random ++ revChain
+    val nodes = edges.flatMap(p => Seq(p._1, p._2)).distinct
+    val got = ops.ConnectedComponents
+      .components(edges.toDF("doc_a", "doc_b"))
+      .as[(Long, Long)].collect().toMap
+    val want = bruteComponents(nodes, edges)
+    assert(got === want)
+  }
+
+  test("components of an empty pair list is empty") {
+    val empty = Seq.empty[(Long, Long)].toDF("doc_a", "doc_b")
+    assert(ops.ConnectedComponents.components(empty).count() === 0)
+  }
+
+  test("dupClusters labels every doc; keepBest keeps exactly one per cluster") {
+    val docs = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
+    val pairs = TextOps.minhashPairs(docs)
+    val clusters = TextOps.dupClusters(docs, pairs).localCheckpoint()
+    assert(clusters.count() === docs.count(), "every doc labelled exactly once")
+    // cluster_id is the min doc_id of the cluster
+    val bad = clusters.groupBy("cluster_id").agg(min("doc_id").as("mn"))
+      .filter(col("mn") =!= col("cluster_id")).count()
+    assert(bad === 0)
+    // both endpoints of every pair share a cluster
+    val lbl = clusters.select(col("doc_id"), col("cluster_id"))
+    val split = pairs
+      .join(lbl.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("cluster_id", "ca"), "doc_a")
+      .join(lbl.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("cluster_id", "cb"), "doc_b")
+      .filter(col("ca") =!= col("cb")).count()
+    assert(split === 0, "paired docs must land in the same cluster")
+    val kept = TextOps.keepBest(docs, pairs)
+    assert(kept.count() === clusters.select("cluster_id").distinct().count())
+    // the kept doc belongs to its cluster
+    val foreign = kept.join(lbl,
+        kept("keep_id") === lbl("doc_id") && kept("cluster_id") === lbl("cluster_id"),
+        "left_anti").count()
+    assert(foreign === 0)
+  }
+}
+
+/** Incremental dedup against the persistent signature table. */
+class IncrementalDedupSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("incremental batches reproduce the full-corpus pairs; re-run idempotent") {
+    val t = java.nio.file.Files.createTempDirectory("incdedup").toString + "/sig"
+    val docs = spark.read.parquet("/root/testdata/sf0.01/documents.parquet").localCheckpoint()
+    val b1 = docs.filter(col("doc_id") % 2 === 0)
+    val b2 = docs.filter(col("doc_id") % 2 === 1)
+    val p1 = TextOps.incrementalDedup(spark, b1, t).as[(Long, Long)].collect().toSet
+    val p2 = TextOps.incrementalDedup(spark, b2, t).as[(Long, Long)].collect().toSet
+    val full = TextOps.minhashPairs(docs).as[(Long, Long)].collect().toSet
+    assert(p1.union(p2) === full,
+      "union over batches must equal the batch recompute — no pair lost, none invented")
+    assert(full.nonEmpty)
+    // idempotent re-run: same pairs out, table row count unchanged
+    val p2Again = TextOps.incrementalDedup(spark, b2, t).as[(Long, Long)].collect().toSet
+    assert(p2Again === p2)
+    val sigRows = graft.table.Icelite.read(spark, t).count()
+    assert(sigRows === TextOps.minhashBands(docs).count(),
+      "signature table holds exactly one row per (doc, band)")
+  }
+}
