@@ -102,6 +102,41 @@ object EventStream {
       }
       .start()
 
+  /** Streaming NEAR-dup candidate gate: each micro-batch of documents runs
+    * [[graft.text.TextOps.incrementalDedup]] — signatures computed once per
+    * doc, bucket-joined against the persistent corpus band index (`sigTable`),
+    * candidate pairs upserted into `pairsTable`. Both tables are Icelite
+    * snapshots, so a killed job resumes from the stream checkpoint plus the
+    * last committed snapshots and converges (the per-batch pair set is
+    * idempotent, and merge dedups on (doc_a, doc_b)). State lives in the
+    * snapshot table — NOT in streaming state — so the corpus index outlives
+    * the query, is shared with batch jobs, and is never bounded by executor
+    * memory: the streaming counterpart of what mapGroupsWithState could
+    * never hold at 10^12 docs.
+    */
+  def runIncrementalDedup(spark: SparkSession, docs: DataFrame,
+                          sigTable: String, pairsTable: String,
+                          checkpointDir: String,
+                          trigger: org.apache.spark.sql.streaming.Trigger =
+                            org.apache.spark.sql.streaming.Trigger.ProcessingTime(0L))
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    docs.writeStream
+      .outputMode(OutputMode.Append())
+      .option("checkpointLocation", checkpointDir)
+      .trigger(trigger)
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        if (!batch.isEmpty) {
+          val pairs = graft.text.TextOps.incrementalDedup(spark, batch.toDF(), sigTable)
+          try {
+            if (!pairs.isEmpty)
+              graft.table.Icelite.merge(spark, pairs, pairsTable,
+                Seq("doc_a", "doc_b"), inputFingerprint = s"batch:$batchId")
+          } finally graft.Session.freeLocalCheckpoint(pairs)
+        }
+        ()
+      }
+      .start()
+
   /** Streaming exact dedup on the record id — the training-ingest "have we
     * seen this document before" gate. `dropDuplicatesWithinWatermark` keys
     * state by event_id and evicts entries once the watermark passes, so

@@ -173,3 +173,33 @@ class StreamingSpec extends SparkSpec {
     assert(first.end_epoch - first.start_epoch === 300)
   }
 }
+
+/** Streaming near-dup gate: foreachBatch incremental dedup into Icelite. */
+class StreamingDedupSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("streamed micro-batches converge to the batch minhash pairs") {
+    implicit val sqlCtx = spark.sqlContext
+    val root = java.nio.file.Files.createTempDirectory("sdedup").toString
+    val docs = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
+      .as[(Long, String, String, String, Long)].collect()
+    val input = MemoryStream[(Long, String, String, String, Long)]
+    val q = EventStream.runIncrementalDedup(spark,
+      input.toDF().toDF("doc_id", "text", "lang", "source", "n_chars"),
+      s"$root/sig", s"$root/pairs", s"$root/ckpt")
+    val (b1, b2) = docs.partition(_._1 % 2 == 0)
+    input.addData(b1.toSeq)
+    q.processAllAvailable()
+    input.addData(b2.toSeq)
+    q.processAllAvailable()
+    q.stop()
+    val got = graft.table.Icelite.read(spark, s"$root/pairs")
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    val want = graft.text.TextOps.minhashPairs(
+        spark.read.parquet("/root/testdata/sf0.01/documents.parquet"))
+      .as[(Long, Long)].collect().toSet
+    assert(got === want, "streamed pair table must equal the batch recompute")
+    assert(want.nonEmpty)
+    assert(graft.table.Icelite.verifyLineage(spark, s"$root/pairs"))
+  }
+}
