@@ -12,12 +12,13 @@ import graft.table.Icelite
   * `outRoot/<job>`, so a re-run resumes/verifies rather than recomputing.
   *
   * Usage: spark-submit --class graft.jobs.Main <jar> <job> <sfDir> <outRoot>
-  *   job ∈ index | shelve | tile | knn | stacdocs | stacmeta | stream | compact
+  *   job ∈ index | shelve | tile | knn | stacdocs | stacmeta | stream |
+  *         compact | dedup
   */
 object Main {
   def main(args: Array[String]): Unit = {
     require(args.length >= 3,
-      "usage: <index|shelve|tile|knn|stacdocs|stacmeta|stream|compact> <sfDir> <outRoot>")
+      "usage: <index|shelve|tile|knn|stacdocs|stacmeta|stream|compact|dedup> <sfDir> <outRoot>")
     val Array(job, sfDir, outRoot) = args.take(3)
     val spark = Session.local(
       sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt, s"graft-$job")
@@ -123,6 +124,22 @@ object Main {
           val (mDel, fDel) = Icelite.expireSnapshots(table)
           println(s"""{"job":"compact","rewritten":$rewritten,"files":$files,""" +
             s""""manifests_expired":$mDel,"files_gcd":$fDel}""")
+        case "dedup" =>
+          // the full near-dup pipeline from spark-submit: signatures upserted
+          // into the persistent band index (incremental — a second sfDir
+          // batch would only compute ITS signatures), pairs → star-contraction
+          // clusters → keep-best survivors, committed as a snapshot; a re-run
+          // converges (idempotent pairs, idempotent merge)
+          val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+          val pairs = graft.text.TextOps.incrementalDedup(
+            spark, docs, s"$outRoot/dedup_sigs")
+          try {
+            val keep = graft.text.TextOps.keepBest(docs, pairs)
+            val snap = Icelite.commit(spark, keep, s"$outRoot/dedup_keep", s"dedup:$sfDir")
+            val nDocs = docs.count()
+            println(s"""{"job":"dedup","docs":$nDocs,"clusters":${snap.rowCount},""" +
+              s""""dropped":${nDocs - snap.rowCount}}""")
+          } finally graft.Session.freeLocalCheckpoint(pairs)
         case other => sys.error(s"unknown job $other")
       }
     } finally spark.stop()

@@ -97,10 +97,13 @@ object ConnectedComponents {
     }
     var converged = false
     var rounds = 0
+    var prevDigest = digest(edges) // carried forward: one digest action/round
     while (!converged && rounds < MaxRounds) {
       rounds += 1
       val next = smallStar(largeStar(edges)).localCheckpoint()
-      converged = digest(next) == digest(edges)
+      val nextDigest = digest(next)
+      converged = nextDigest == prevDigest
+      prevDigest = nextDigest
       // intermediate rounds' blocks are freed eagerly; the terminal edge
       // list stays pinned because the returned plan reads it (and it is
       // small: at most one edge per non-root node)

@@ -680,6 +680,41 @@ object Icelite {
     else spark.read.parquet(snap.filePaths: _*)
   }
 
+  /** Roll the table back to a retained snapshot (the Iceberg
+    * `rollback_to_snapshot` analog): an O(1) pointer swap under the table
+    * lock — data files and manifests are immutable, so nothing is copied and
+    * the rolled-past snapshots stay readable (and recoverable by rolling
+    * forward again) until [[expireSnapshots]] ages them out relative to the
+    * NEW current id. The next commit allocates past any existing manifest id
+    * (CREATE_NEW loop), so rolled-past ids are never overwritten.
+    */
+  def rollback(table: String, id: Long): Snapshot = {
+    val snap = readManifest(table, id) // throws when missing/expired/corrupt
+    withTableLock(table) {
+      val tmp = Paths.get(table, s"_CURRENT.tmp.rollback-$id")
+      Files.writeString(tmp, id.toString)
+      Files.move(tmp, currentPtr(table), StandardCopyOption.ATOMIC_MOVE,
+        StandardCopyOption.REPLACE_EXISTING)
+    }
+    snap
+  }
+
+  /** The table's file-level metadata as a DataFrame (the Iceberg `.files`
+    * metadata-table analog): one row per data file with its slice claim,
+    * lineage, and zone-map bounds — driver-side manifest only, no data IO.
+    * The observability surface a 100 TB operator actually queries: file-size
+    * skew, slice refinement depth, stats coverage.
+    */
+  def filesDf(spark: SparkSession, table: String): DataFrame = {
+    import spark.implicits._
+    val id = currentSnapshotId(table).getOrElse(
+      throw new IllegalStateException(s"no committed snapshot in $table"))
+    readManifest(table, id).files
+      .map(f => (f.path, f.mod, f.res, f.rows, f.checksum,
+        f.stats.map { case (c, (lo, hi)) => (c, lo, hi) }.toSeq.sortBy(_._1)))
+      .toDF("path", "mod", "res", "rows", "checksum", "stats")
+  }
+
   /** Manifest-level data skipping (the Iceberg scan-planning analog): read
     * only the files whose zone map can intersect `[lo, hi]` on `column`,
     * with the exact range filter applied on top (stats pruning is an IO

@@ -602,3 +602,42 @@ class ZoneMapSpec extends SparkSpec {
     assert(Icelite.pruneFiles(legacy, "other", 1L, 2L).size === 2)
   }
 }
+
+/** Snapshot rollback + files metadata view. */
+class RollbackSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("rollback is an O(1) pointer swap; content restored, roll-forward works") {
+    val t = Files.createTempDirectory("rollback").toString + "/r1"
+    Icelite.merge(spark, Seq((1L, "a"), (2L, "b")).toDF("id", "v"), t, Seq("id"))
+    Icelite.merge(spark, Seq((2L, "B2"), (3L, "c")).toDF("id", "v"), t, Seq("id"))
+    val v2 = Icelite.read(spark, t).as[(Long, String)].collect().toSet
+    assert(v2 === Set((1L, "a"), (2L, "B2"), (3L, "c")))
+    Icelite.rollback(t, 1)
+    assert(Icelite.read(spark, t).as[(Long, String)].collect().toSet
+      === Set((1L, "a"), (2L, "b")))
+    // a merge on the rolled-back state allocates a FRESH id (no overwrite)
+    Icelite.merge(spark, Seq((9L, "z")).toDF("id", "v"), t, Seq("id"))
+    assert(Icelite.currentSnapshotId(t).get === 3L)
+    assert(Icelite.read(spark, t).as[(Long, String)].collect().toSet
+      === Set((1L, "a"), (2L, "b"), (9L, "z")))
+    // snapshot 2 is untouched and still readable (roll-forward)
+    assert(Icelite.readAt(spark, t, 2).as[(Long, String)].collect().toSet === v2)
+    // rollback to an unknown id fails loudly
+    intercept[Exception] { Icelite.rollback(t, 99) }
+  }
+
+  test("filesDf exposes slice claims, lineage, and zone maps without data IO") {
+    val t = Files.createTempDirectory("rollback").toString + "/r2"
+    Icelite.merge(spark, (0 until 100).map(i => (i.toLong, s"v$i")).toDF("id", "v"),
+      t, Seq("id"), nBuckets = 4)
+    val fdf = Icelite.filesDf(spark, t)
+    val rows = fdf.collect()
+    assert(rows.length === 4)
+    assert(fdf.columns.toSeq === Seq("path", "mod", "res", "rows", "checksum", "stats"))
+    assert(rows.map(_.getAs[Long]("rows")).sum === 100L)
+    // every file carries id + v bounds
+    assert(rows.forall(_.getAs[Seq[org.apache.spark.sql.Row]]("stats")
+      .map(_.getString(0)).toSet === Set("id", "v")))
+  }
+}
