@@ -341,6 +341,11 @@ object SparkEntry {
     "q_boilerplate" -> ((s, dir) =>
       TextOps.boilerplate(s.read.parquet(s"$dir/documents.parquet"), minDf = 5)),
 
+    // --- text: end-to-end corpus curation (cluster representative ∧ quality
+    // ∧ boilerplate ∧ language — the full selection a corpus build ships)
+    "q_corpus_select" -> ((s, dir) =>
+      TextOps.corpusSelect(s.read.parquet(s"$dir/documents.parquet"))),
+
     // --- text: URL canonicalization (the dedup key a crawl pipeline uses
     // BEFORE content hashing). The fixture's URLs are uniform, so the query
     // deterministically decorates them with the real-world mess first —
@@ -1176,6 +1181,63 @@ object SparkEntry {
       "b AS (SELECT s FROM dfc WHERE df >= 5)",
       "per AS (SELECT e.doc_id, count(*) AS n_boiler FROM ex e JOIN b USING (s) GROUP BY e.doc_id)",
       "tot AS (SELECT doc_id, count(*) AS n_sh FROM ex GROUP BY doc_id)"),
+
+    "q_corpus_select" -> withRecursiveCtes(
+      """SELECT k.doc_id, k.cluster_id, CAST(k.n_docs AS BIGINT) AS n_docs,
+        |       k.quality_score, br.boiler_ratio, l.pred_lang
+        |FROM keepb k
+        |JOIN lng l ON l.doc_id = k.doc_id
+        |JOIN br ON br.doc_id = k.doc_id
+        |WHERE k.quality_score >= 1.1
+        |  AND (br.boiler_ratio IS NULL OR br.boiler_ratio <= 0.05)
+        |  AND l.pred_lang IN ('en')""".stripMargin,
+      (clusterCtes ++ Seq(
+        """qual AS (
+          |  SELECT doc_id, round(
+          |    (CAST(len(list_filter(t, w -> w IN ('the','a','of','and','to','in','is','on'))) AS DOUBLE) / len(t)) * 2.0
+          |    - (CAST(length(regexp_extract_all(text, '[^a-zA-Z0-9 ]')) AS DOUBLE) / length(text)) * 5.0
+          |    + CASE WHEN len(t) >= 10 AND len(t) <= 1000 THEN 1.0 ELSE 0.0 END, 6) AS quality_score
+          |  FROM toks)""".stripMargin,
+        """keepb AS (
+          |  SELECT cluster_id, doc_id, quality_score, n_docs FROM (
+          |    SELECT c.cluster_id, c.doc_id, q.quality_score,
+          |           count(*) OVER (PARTITION BY c.cluster_id) AS n_docs,
+          |           row_number() OVER (PARTITION BY c.cluster_id
+          |                              ORDER BY q.quality_score DESC, c.doc_id ASC) AS rn
+          |    FROM cl c JOIN qual q ON q.doc_id = c.doc_id)
+          |  WHERE rn = 1)""".stripMargin,
+        """lng AS (
+          |  SELECT doc_id,
+          |    CASE WHEN s_en = m AND m > 0 THEN 'en'
+          |         WHEN s_de = m AND m > 0 THEN 'de'
+          |         WHEN s_es = m AND m > 0 THEN 'es'
+          |         WHEN s_fr = m AND m > 0 THEN 'fr'
+          |         WHEN s_zh = m AND m > 0 THEN 'zh'
+          |         ELSE 'und' END AS pred_lang
+          |  FROM (
+          |    SELECT doc_id, s_en, s_de, s_es, s_fr, s_zh,
+          |           greatest(s_en, s_de, s_es, s_fr, s_zh) AS m
+          |    FROM (
+          |      SELECT doc_id,
+          |        len(list_filter(t, w -> w IN ('the','and','of','to','is'))) AS s_en,
+          |        len(list_filter(t, w -> w IN ('der','die','und','ist','das'))) AS s_de,
+          |        len(list_filter(t, w -> w IN ('el','la','de','que','es'))) AS s_es,
+          |        len(list_filter(t, w -> w IN ('le','la','les','est','et'))) AS s_fr,
+          |        len(list_filter(t, w -> w IN ('shi','de','le','zai','he'))) AS s_zh
+          |      FROM toks)))""".stripMargin,
+        s"""exb AS (SELECT DISTINCT doc_id, ${h32sql("sg")} AS s
+           |        FROM (SELECT doc_id, unnest(s) AS sg FROM sh))""".stripMargin,
+        "bl AS (SELECT s FROM (SELECT s, count(*) AS df FROM exb GROUP BY s) WHERE df >= 5)",
+        """br AS (
+          |  SELECT d.doc_id,
+          |         CASE WHEN coalesce(t2.n_sh, 0) > 0
+          |              THEN round(coalesce(p.n_boiler, 0) / t2.n_sh, 6) END AS boiler_ratio
+          |  FROM documents d
+          |  LEFT JOIN (SELECT doc_id, count(*) AS n_sh FROM exb GROUP BY doc_id) t2
+          |    ON t2.doc_id = d.doc_id
+          |  LEFT JOIN (SELECT e.doc_id, count(*) AS n_boiler FROM exb e JOIN bl USING (s)
+          |             GROUP BY e.doc_id) p
+          |    ON p.doc_id = d.doc_id)""".stripMargin)): _*),
 
     "q_url_normalize" -> withCtes(
       """SELECT doc_id, url_raw,

@@ -362,6 +362,35 @@ object TextOps {
         col("cluster_size").cast("long").as("n_docs"))
   }
 
+  /** End-to-end corpus curation — the composition a training-data pipeline
+    * ships: keep a document iff it is its duplicate-cluster's REPRESENTATIVE
+    * ([[keepBest]]) AND quality ≥ `minQuality` AND boilerplate ratio ≤
+    * `maxBoiler` (docs with no shingles trivially pass) AND predicted
+    * language ∈ `langs`. Output one row per surviving doc with its full
+    * scorecard.
+    *
+    * Scale: every input to the final join is a per-doc aggregate (narrow
+    * kernels + one bounded shuffle each, see the component operators); the
+    * composition adds two doc_id equi-joins — no new pair-shaped or
+    * corpus-squared work.
+    */
+  def corpusSelect(docs: DataFrame, minQuality: Double = 1.1,
+                   maxBoiler: Double = 0.05,
+                   langs: Seq[String] = Seq("en")): DataFrame = {
+    val keep = keepBest(docs, minhashPairs(docs))
+      .withColumnRenamed("keep_id", "doc_id")
+      .withColumnRenamed("keep_quality", "quality_score")
+    val lang = langId(docs).select(col("doc_id"), col("pred_lang"))
+    val boiler = boilerplate(docs).select(col("doc_id"), col("boiler_ratio"))
+    keep.join(lang, Seq("doc_id"))
+      .join(boiler, Seq("doc_id"))
+      .filter(col("quality_score") >= minQuality &&
+        (col("boiler_ratio").isNull || col("boiler_ratio") <= maxBoiler) &&
+        col("pred_lang").isin(langs: _*))
+      .select(col("doc_id"), col("cluster_id"), col("n_docs"),
+        col("quality_score"), col("boiler_ratio"), col("pred_lang"))
+  }
+
   /** (retired per-row-array formulation kept for reference tests) */
   private[text] def simhashArrayForm(docs: DataFrame): DataFrame = {
     val hs = transform(tokens(col("text")), w => h32(w))
