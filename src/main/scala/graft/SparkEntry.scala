@@ -346,6 +346,13 @@ object SparkEntry {
     "q_corpus_select" -> ((s, dir) =>
       TextOps.corpusSelect(s.read.parquet(s"$dir/documents.parquet"))),
 
+    // --- text: benchmark decontamination (every 50th doc stands in as the
+    // eval set; overlap = shared distinct 3-shingles)
+    "q_decontaminate" -> ((s, dir) => {
+      val docs = s.read.parquet(s"$dir/documents.parquet")
+      TextOps.decontaminate(docs, docs.filter(col("doc_id") % 50 === 0), minOverlap = 2)
+    }),
+
     // --- text: URL canonicalization (the dedup key a crawl pipeline uses
     // BEFORE content hashing). The fixture's URLs are uniform, so the query
     // deterministically decorates them with the real-world mess first —
@@ -370,6 +377,13 @@ object SparkEntry {
     // --- similarity: exact brute-force cosine top-k
     "q_ann_brute" -> ((s, dir) =>
       Ann.bruteTopK(s.read.parquet(s"$dir/embeddings.parquet"), col("vec_id") < 32, k = 5)
+        .withColumn("rn", col("rn").cast("long"))),
+
+    // --- similarity: int8 scalar-quantized top-k with exact re-rank (the
+    // memory-bandwidth knob: 8x smaller scan, recall bounded by the
+    // k·rerank approximate window)
+    "q_quant_topk" -> ((s, dir) =>
+      Ann.quantTopK(s.read.parquet(s"$dir/embeddings.parquet"), col("vec_id") < 32, k = 5)
         .withColumn("rn", col("rn").cast("long"))),
 
     // --- similarity: embedding-cosine near-dup pairs
@@ -1239,6 +1253,23 @@ object SparkEntry {
           |             GROUP BY e.doc_id) p
           |    ON p.doc_id = d.doc_id)""".stripMargin)): _*),
 
+    "q_decontaminate" -> withCtes(
+      """SELECT d.doc_id,
+        |       coalesce(pd.n_bench_hits, 0) AS n_bench_hits,
+        |       coalesce(pd.max_overlap, 0) AS max_overlap,
+        |       coalesce(pd.n_bench_hits, 0) > 0 AS contaminated
+        |FROM documents d LEFT JOIN pd ON pd.doc_id = d.doc_id""".stripMargin,
+      toksCte, shinglesCte,
+      s"""exd AS (SELECT DISTINCT doc_id, ${h32sql("sg")} AS s
+         |        FROM (SELECT doc_id, unnest(s) AS sg FROM sh))""".stripMargin,
+      "bxd AS (SELECT doc_id AS bench_id, s FROM exd WHERE doc_id % 50 = 0)",
+      """pp AS (SELECT e.doc_id, b.bench_id, count(*) AS overlap
+        |       FROM exd e JOIN bxd b USING (s)
+        |       GROUP BY e.doc_id, b.bench_id
+        |       HAVING count(*) >= 2)""".stripMargin,
+      """pd AS (SELECT doc_id, count(*) AS n_bench_hits, max(overlap) AS max_overlap
+        |       FROM pp GROUP BY doc_id)""".stripMargin),
+
     "q_url_normalize" -> withCtes(
       """SELECT doc_id, url_raw,
         |  CASE WHEN scheme = '' THEN url_raw ELSE
@@ -1351,6 +1382,33 @@ object SparkEntry {
         |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, CAST(count(*) AS BIGINT) AS n_inter
         |  FROM ex a JOIN ex b ON a.sg = b.sg AND a.doc_id < b.doc_id
         |  GROUP BY 1, 2)""".stripMargin),
+
+    "q_quant_topk" -> withCtes(
+      s"""SELECT query_id, neighbor_id, cos_sim, rn FROM (
+         |  SELECT query_id, neighbor_id, cos_sim,
+         |         row_number() OVER (PARTITION BY query_id ORDER BY cos_sim DESC, neighbor_id) AS rn
+         |  FROM (
+         |    SELECT query_id, neighbor_id,
+         |           CAST(${dotSql("qem", "em")} AS DOUBLE) /
+         |           sqrt(CAST(qn2 * n2 AS DOUBLE)) AS cos_sim
+         |    FROM (
+         |      SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY approx DESC, neighbor_id) AS rn8
+         |      FROM (
+         |        SELECT q.vec_id AS query_id, v.vec_id AS neighbor_id,
+         |               ${dotSql("q.q8", "v.q8")} * q.mx * v.mx AS approx,
+         |               v.em AS em, v.n2 AS n2, q.em AS qem, q.n2 AS qn2
+         |        FROM q8v v JOIN q8v q ON v.vec_id <> q.vec_id
+         |        WHERE q.vec_id < 32
+         |      )
+         |    ) WHERE rn8 <= 20
+         |  )
+         |) WHERE rn <= 5""".stripMargin, embCte,
+      """q8v AS (
+        |  SELECT vec_id, em, n2, mx,
+        |         list_transform(em, x -> CAST(round(x * 127.0 / mx) AS BIGINT)) AS q8
+        |  FROM (SELECT vec_id, em, n2,
+        |               greatest(list_max(list_transform(em, x -> abs(x))), 1) AS mx
+        |        FROM emn))""".stripMargin),
 
     "q_ann_brute" -> withCtes(
       s"""SELECT query_id, neighbor_id, cos_sim, rn FROM (

@@ -362,6 +362,39 @@ object TextOps {
         col("cluster_size").cast("long").as("n_docs"))
   }
 
+  /** Benchmark decontamination: flag corpus documents that share at least
+    * `minOverlap` distinct 3-shingles with ANY document of a benchmark/eval
+    * set — the contamination gate a training-data pipeline runs so eval
+    * questions don't leak into the corpus. Output one row per corpus doc:
+    * (doc_id, n_bench_hits = benchmark docs overlapped at the threshold,
+    * max_overlap = largest shared-shingle count, contaminated).
+    *
+    * Scale: the benchmark side is tiny (eval sets are thousands of docs) —
+    * its distinct shingle set broadcasts; the corpus side is one narrow
+    * kernel pass + an explode joined against the broadcast, then a per-doc
+    * aggregate. The corpus never self-joins and document text never
+    * shuffles.
+    */
+  def decontaminate(docs: DataFrame, bench: DataFrame,
+                    minOverlap: Int = 2): DataFrame = {
+    val ex = docs.select(col("doc_id"),
+      explode(array_distinct(shingleHashes(col("text"), 3))).as("s"))
+    val bx = bench.select(col("doc_id").as("bench_id"),
+      explode(array_distinct(shingleHashes(col("text"), 3))).as("s"))
+    val perPair = ex.join(broadcast(bx), Seq("s"))
+      .groupBy("doc_id", "bench_id").agg(count(lit(1)).as("overlap"))
+      .filter(col("overlap") >= minOverlap)
+    val perDoc = perPair.groupBy("doc_id").agg(
+      count(lit(1)).as("n_bench_hits"),
+      max(col("overlap")).as("max_overlap"))
+    docs.select(col("doc_id"))
+      .join(perDoc, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_bench_hits"), lit(0L)).as("n_bench_hits"),
+        coalesce(col("max_overlap"), lit(0L)).as("max_overlap"))
+      .withColumn("contaminated", col("n_bench_hits") > 0)
+  }
+
   /** End-to-end corpus curation — the composition a training-data pipeline
     * ships: keep a document iff it is its duplicate-cluster's REPRESENTATIVE
     * ([[keepBest]]) AND quality ≥ `minQuality` AND boilerplate ratio ≤

@@ -38,3 +38,30 @@ class AnnSpec extends SparkSpec {
     assert(all.length === all.distinct.length, "a pair must materialize once")
   }
 }
+
+/** Int8 scalar quantization + exact re-rank. */
+class QuantSpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val vecs =
+    spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet").localCheckpoint()
+
+  test("quantized top-k with a full-width rerank window EQUALS brute (re-rank is exact)") {
+    val brute = graft.sim.Ann.bruteTopK(vecs, col("vec_id") < 16, k = 5)
+      .select("query_id", "neighbor_id", "rn").as[(Long, Long, Int)].collect().toSet
+    // rerank window >= corpus: every candidate re-ranked exactly
+    val quant = graft.sim.Ann.quantTopK(vecs, col("vec_id") < 16, k = 5, rerank = 1000)
+      .select("query_id", "neighbor_id", "rn").as[(Long, Long, Int)].collect().toSet
+    assert(quant === brute)
+  }
+
+  test("default rerank window holds high recall vs brute at 8x less scan width") {
+    val brute = graft.sim.Ann.bruteTopK(vecs, col("vec_id") < 16, k = 5)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val quant = graft.sim.Ann.quantTopK(vecs, col("vec_id") < 16, k = 5)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    assert(quant.size === brute.size)
+    val recall = quant.intersect(brute).size.toDouble / brute.size
+    assert(recall >= 0.9, s"int8 + 4k re-rank should lose <10% of true neighbors, got $recall")
+  }
+}
