@@ -353,6 +353,45 @@ object SparkEntry {
       TextOps.decontaminate(docs, docs.filter(col("doc_id") % 50 === 0), minOverlap = 2)
     }),
 
+    // --- text: deterministic hash sampling (corpus-mixing weights)
+    "q_sample_mix" -> ((s, dir) =>
+      TextOps.sampleMix(s.read.parquet(s"$dir/documents.parquet"),
+        Map("en" -> 0.5, "de" -> 0.25))),
+
+    // --- text: per-language token-budget fill (running prefix-sum cap)
+    "q_token_budget" -> ((s, dir) =>
+      TextOps.tokenBudget(s.read.parquet(s"$dir/documents.parquet"), budget = 2000L)),
+
+    // --- text: within-doc repetition signals (Gopher/C4-style quality rules)
+    "q_repetition" -> ((s, dir) =>
+      TextOps.repetitionStats(s.read.parquet(s"$dir/documents.parquet"))),
+
+    // --- text: PII scrub. The fixture's text is clean, so the query
+    // deterministically decorates a third of the docs with an email and a
+    // third with an IP + long numeric id first (q_url_normalize precedent),
+    // then masks; the oracle mirrors both steps.
+    "q_pii_scrub" -> ((s, dir) => {
+      val docs = s.read.parquet(s"$dir/documents.parquet")
+      val dirty = when(col("doc_id") % 3 === 0,
+          concat(col("text"), lit(" contact user"), col("doc_id").cast("string"),
+            lit("@mail.example.com now")))
+        .when(col("doc_id") % 3 === 1,
+          concat(col("text"), lit(" from 10."), (col("doc_id") % 256).cast("string"),
+            lit(".0."), (col("doc_id") % 100).cast("string"),
+            lit(" session "), (col("doc_id") + 1000000L).cast("string")))
+        .otherwise(col("text"))
+      TextOps.piiScrub(docs.select(col("doc_id"), dirty.as("text")))
+    }),
+
+    // --- text: fixed-size overlapping context-window chunking
+    "q_chunks" -> ((s, dir) =>
+      TextOps.chunkWindows(s.read.parquet(s"$dir/documents.parquet"),
+        chunkSize = 32, stride = 24)),
+
+    // --- text: sequence packing into fixed-token-budget bins (per lang)
+    "q_pack_bins" -> ((s, dir) =>
+      TextOps.packBins(s.read.parquet(s"$dir/documents.parquet"), binTokens = 512L)),
+
     // --- text: URL canonicalization (the dedup key a crawl pipeline uses
     // BEFORE content hashing). The fixture's URLs are uniform, so the query
     // deterministically decorates them with the real-world mess first —
@@ -1252,6 +1291,82 @@ object SparkEntry {
           |  LEFT JOIN (SELECT e.doc_id, count(*) AS n_boiler FROM exb e JOIN bl USING (s)
           |             GROUP BY e.doc_id) p
           |    ON p.doc_id = d.doc_id)""".stripMargin)): _*),
+
+    "q_sample_mix" ->
+      s"""SELECT doc_id, lang, sample_key FROM (
+         |  SELECT doc_id, lang,
+         |         ${h32sql("'mix1:' || CAST(doc_id AS VARCHAR)")} % 1000 AS sample_key,
+         |         CASE WHEN lang = 'en' THEN 500
+         |              WHEN lang = 'de' THEN 250
+         |              ELSE 100 END AS rate
+         |  FROM documents)
+         |WHERE sample_key < rate""".stripMargin,
+
+    "q_token_budget" -> withCtes(
+      """SELECT doc_id, lang, n_tokens, running_tokens FROM (
+        |  SELECT doc_id, lang, CAST(len(t) AS BIGINT) AS n_tokens,
+        |         CAST(sum(len(t)) OVER (PARTITION BY lang ORDER BY doc_id
+        |               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+        |           AS running_tokens
+        |  FROM toks)
+        |WHERE running_tokens <= 2000""".stripMargin, toksCte),
+
+    "q_repetition" -> withCtes(
+      """SELECT d.doc_id,
+        |       CAST(coalesce(a1.n, 0) AS BIGINT) AS n_tokens,
+        |       CAST(coalesce(a1.d, 0) AS BIGINT) AS n_distinct,
+        |       CASE WHEN a1.n > 0 THEN round(1.0 - a1.d / CAST(a1.n AS DOUBLE), 6) END AS dup_frac,
+        |       CASE WHEN a1.n > 0 THEN round(a1.m / CAST(a1.n AS DOUBLE), 6) END AS top_token_frac,
+        |       CASE WHEN a2.nb > 0 THEN round(a2.mb / CAST(a2.nb AS DOUBLE), 6) END AS top_bigram_frac
+        |FROM documents d
+        |LEFT JOIN a1 USING (doc_id)
+        |LEFT JOIN a2 USING (doc_id)""".stripMargin,
+      toksCte,
+      "c1 AS (SELECT doc_id, w, count(*) AS c FROM (SELECT doc_id, unnest(t) AS w FROM toks) GROUP BY 1, 2)",
+      "a1 AS (SELECT doc_id, sum(c) AS n, count(*) AS d, max(c) AS m FROM c1 GROUP BY 1)",
+      "bg AS (SELECT doc_id, list_transform(range(1, len(t)), i -> t[i] || ' ' || t[i+1]) AS b FROM toks)",
+      "c2 AS (SELECT doc_id, w, count(*) AS c FROM (SELECT doc_id, unnest(b) AS w FROM bg) GROUP BY 1, 2)",
+      "a2 AS (SELECT doc_id, sum(c) AS nb, max(c) AS mb FROM c2 GROUP BY 1)"),
+
+    "q_pii_scrub" -> withCtes(
+      s"""SELECT doc_id,
+         |       CAST(len(regexp_extract_all(s0, '${TextOps.EmailRe}')) AS BIGINT) AS n_emails,
+         |       CAST(len(regexp_extract_all(s1, '${TextOps.Ipv4Re}')) AS BIGINT) AS n_ips,
+         |       CAST(len(regexp_extract_all(s2, '${TextOps.LongNumRe}')) AS BIGINT) AS n_nums,
+         |       regexp_replace(s2, '${TextOps.LongNumRe}', '<NUM>', 'g') AS clean_text
+         |FROM s2t""".stripMargin,
+      """dirty AS (
+        |  SELECT doc_id,
+        |    CASE CAST(doc_id % 3 AS INT)
+        |      WHEN 0 THEN text || ' contact user' || CAST(doc_id AS VARCHAR) || '@mail.example.com now'
+        |      WHEN 1 THEN text || ' from 10.' || CAST(doc_id % 256 AS VARCHAR) || '.0.' ||
+        |                  CAST(doc_id % 100 AS VARCHAR) || ' session ' || CAST(doc_id + 1000000 AS VARCHAR)
+        |      ELSE text
+        |    END AS s0
+        |  FROM documents)""".stripMargin,
+      s"s1t AS (SELECT doc_id, s0, regexp_replace(s0, '${TextOps.EmailRe}', '<EMAIL>', 'g') AS s1 FROM dirty)",
+      s"s2t AS (SELECT doc_id, s0, s1, regexp_replace(s1, '${TextOps.Ipv4Re}', '<IP>', 'g') AS s2 FROM s1t)"),
+
+    "q_chunks" -> withCtes(
+      """SELECT doc_id, chunk_id, CAST(len(c) AS BIGINT) AS n_chunk_tokens,
+        |       array_to_string(c, ' ') AS chunk_text
+        |FROM (SELECT doc_id, i AS chunk_id, t[(i*24 + 1):(i*24 + 32)] AS c FROM ch)""".stripMargin,
+      toksCte,
+      "nc AS (SELECT doc_id, t, 1 + greatest(0, CAST(ceil((len(t) - 32) / 24.0) AS BIGINT)) AS n FROM toks)",
+      "ch AS (SELECT doc_id, unnest(range(0, n)) AS i, t FROM nc)"),
+
+    "q_pack_bins" -> withCtes(
+      """SELECT lang, bin_id, count(*) AS n_docs, CAST(sum(n_tokens) AS BIGINT) AS bin_tokens
+        |FROM (SELECT lang,
+        |             CAST(floor((running - n_tokens) / CAST(512 AS DOUBLE)) AS BIGINT) AS bin_id,
+        |             n_tokens
+        |      FROM runs)
+        |GROUP BY 1, 2""".stripMargin,
+      toksCte,
+      """runs AS (SELECT doc_id, lang, CAST(len(t) AS BIGINT) AS n_tokens,
+        |         CAST(sum(len(t)) OVER (PARTITION BY lang ORDER BY doc_id
+        |               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS running
+        |         FROM toks)""".stripMargin),
 
     "q_decontaminate" -> withCtes(
       """SELECT d.doc_id,

@@ -424,6 +424,150 @@ object TextOps {
         col("quality_score"), col("boiler_ratio"), col("pred_lang"))
   }
 
+  /** Deterministic stratified sampling — corpus-mixing weights: keep a doc
+    * iff `h32(salt · doc_id) mod 1000 < rate(lang) · 1000`. Hash-based (not
+    * rand()) so the sample is REPRODUCIBLE across runs/retries/engines — the
+    * property a training-data mix needs for auditability — and a narrow
+    * per-row predicate the scan applies with zero shuffle at any scale.
+    * Unknown languages fall back to `defaultRate`.
+    */
+  def sampleMix(docs: DataFrame, rates: Map[String, Double],
+                defaultRate: Double = 0.1, salt: String = "mix1"): DataFrame = {
+    val keyHash = pmod(h32(concat(lit(salt + ":"), col("doc_id").cast("string"))), lit(1000L))
+    val rate = rates.foldLeft(Option.empty[Column]) {
+      case (None, (l, r)) => Some(when(col("lang") === l, lit((r * 1000).toLong)))
+      case (Some(c), (l, r)) => Some(c.when(col("lang") === l, lit((r * 1000).toLong)))
+    }.map(_.otherwise(lit((defaultRate * 1000).toLong)))
+      .getOrElse(lit((defaultRate * 1000).toLong))
+    docs.withColumn("__kh", keyHash).filter(col("__kh") < rate)
+      .select(col("doc_id"), col("lang"), col("__kh").as("sample_key"))
+  }
+
+  /** Token-budget filling: per language, keep documents in deterministic
+    * order (doc_id) while the RUNNING token total stays within `budget` —
+    * "fill N tokens per language", the last selection step of a corpus mix.
+    * One window prefix-sum per language partition; emits the running total
+    * so downstream can audit the cut. A doc that crosses the budget line is
+    * excluded (strict cap).
+    *
+    * Scale: a window ordered by doc_id within lang — one shuffle on lang
+    * (salt high-cardinality keys by range-partitioning doc_id first if a
+    * single language dominates; at the 100 TB design point the budget fill
+    * runs per (lang, shard) with per-shard budgets, which this same column
+    * expression serves).
+    */
+  def tokenBudget(docs: DataFrame, budget: Long): DataFrame = {
+    val toksN = size(tokens(col("text"))).cast("long")
+    val w = Window.partitionBy(col("lang")).orderBy(col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    docs.select(col("doc_id"), col("lang"), toksN.as("n_tokens"))
+      .withColumn("running_tokens", sum(col("n_tokens")).over(w))
+      .filter(col("running_tokens") <= budget)
+  }
+
+  /** Within-document repetition signals — the Gopher/C4-style quality rules
+    * that gate machine-generated and keyword-stuffed pages: duplicate-token
+    * fraction, most-common-token fraction, most-common-bigram fraction.
+    * Pure narrow per-row HOFs over the token array — zero shuffle at any
+    * scale; cost is bounded by document length (O(d·n) per row where d =
+    * distinct tokens), never by corpus size. Empty docs yield NULL fractions.
+    */
+  def repetitionStats(docs: DataFrame): DataFrame = {
+    def maxCount(arr: Column): Column =
+      array_max(transform(array_distinct(arr), w => size(filter(arr, x => x === w))))
+        .cast("long")
+    val withArrs = docs.select(col("doc_id"), tokens(col("text")).as("__t"))
+      .withColumn("__b", shingles(col("__t"), 2))
+    withArrs.select(
+        col("doc_id"),
+        size(col("__t")).cast("long").as("n_tokens"),
+        size(array_distinct(col("__t"))).cast("long").as("n_distinct"),
+        maxCount(col("__t")).as("__m"),
+        size(col("__b")).cast("long").as("__nb"),
+        maxCount(col("__b")).as("__mb"))
+      .select(col("doc_id"), col("n_tokens"), col("n_distinct"),
+        when(col("n_tokens") > 0,
+          round(lit(1.0) - col("n_distinct").cast("double") / col("n_tokens"), 6))
+          .as("dup_frac"),
+        when(col("n_tokens") > 0,
+          round(col("__m").cast("double") / col("n_tokens"), 6)).as("top_token_frac"),
+        when(col("__nb") > 0,
+          round(col("__mb").cast("double") / col("__nb"), 6)).as("top_bigram_frac"))
+  }
+
+  /** PII regexes shared by the Spark op and the SQL oracle — kept inside the
+    * common RE2 ∩ java.util.regex dialect (no lookaround/backrefs) so both
+    * engines match identically. */
+  val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val Ipv4Re = "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b"
+  val LongNumRe = "\\d{7,}"
+
+  /** PII scrubbing — mask emails, IPv4 addresses, and long digit runs
+    * (account/phone-shaped ids) with typed placeholder tokens, and count the
+    * redactions per document for audit. The passes run in a fixed order
+    * (email → ip → number) and each count is taken on the OUTPUT of the
+    * previous pass, so a digit run inside an already-masked email is not
+    * double-counted. Narrow per-row codegen `regexp_replace`/`regexp_count`
+    * chain — zero shuffle at 100 TB.
+    */
+  def piiScrub(docs: DataFrame): DataFrame = {
+    val s0 = col("text")
+    val s1 = regexp_replace(s0, EmailRe, "<EMAIL>")
+    val s2 = regexp_replace(s1, Ipv4Re, "<IP>")
+    val s3 = regexp_replace(s2, LongNumRe, "<NUM>")
+    docs.select(col("doc_id"),
+      regexp_count(s0, lit(EmailRe)).cast("long").as("n_emails"),
+      regexp_count(s1, lit(Ipv4Re)).cast("long").as("n_ips"),
+      regexp_count(s2, lit(LongNumRe)).cast("long").as("n_nums"),
+      s3.as("clean_text"))
+  }
+
+  /** Context-window chunking — split each document's token stream into
+    * fixed-size overlapping windows (`chunkSize` tokens every `stride`),
+    * the step that turns curated documents into training sequences. Every
+    * document yields at least one chunk (short docs → one partial chunk);
+    * the last chunk may be partial. Pure per-row explode — the output is
+    * `ceil(n/stride)`-ish rows per doc with NO shuffle; at 100 TB the
+    * chunker runs in the scan stage and streams straight to the sink.
+    */
+  def chunkWindows(docs: DataFrame, chunkSize: Int, stride: Int): DataFrame = {
+    require(chunkSize > 0 && stride > 0, "chunkSize and stride must be positive")
+    val t = tokens(col("text"))
+    val nChunks = lit(1) + greatest(lit(0),
+      ceil((size(t) - lit(chunkSize)).cast("double") / stride).cast("int"))
+    docs.select(col("doc_id"), t.as("__t"), nChunks.as("__nc"))
+      .select(col("doc_id"),
+        posexplode(transform(sequence(lit(0), col("__nc") - 1),
+          i => slice(col("__t"), i * stride + 1, lit(chunkSize)))))
+      .select(col("doc_id"), col("pos").cast("long").as("chunk_id"),
+        size(col("col")).cast("long").as("n_chunk_tokens"),
+        concat_ws(" ", col("col")).as("chunk_text"))
+  }
+
+  /** Sequence packing — assign documents to fixed-token-budget bins, per
+    * language in deterministic doc_id order (the offline "pack sequences
+    * into context windows" step). A document lands in the bin where its
+    * running prefix-sum STARTS (documents are never split; a bin may
+    * overflow by at most one document). Returns the per-bin summary
+    * (lang, bin_id, n_docs, bin_tokens).
+    *
+    * Scale: same window shape as [[tokenBudget]] — one shuffle on lang; at
+    * the design point packing runs per (lang, shard) so no single partition
+    * holds a whole language.
+    */
+  def packBins(docs: DataFrame, binTokens: Long): DataFrame = {
+    require(binTokens > 0, "binTokens must be positive")
+    val n = size(tokens(col("text"))).cast("long")
+    val w = Window.partitionBy(col("lang")).orderBy(col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    docs.select(col("doc_id"), col("lang"), n.as("n_tokens"))
+      .withColumn("__run", sum(col("n_tokens")).over(w))
+      .withColumn("bin_id",
+        floor((col("__run") - col("n_tokens")).cast("double") / binTokens).cast("long"))
+      .groupBy(col("lang"), col("bin_id"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("bin_tokens"))
+  }
+
   /** (retired per-row-array formulation kept for reference tests) */
   private[text] def simhashArrayForm(docs: DataFrame): DataFrame = {
     val hs = transform(tokens(col("text")), w => h32(w))
