@@ -39,10 +39,13 @@ object SparkEntry {
   private def withRecursiveCtes(body: String, ctes: String*): String =
     s"WITH RECURSIVE ${ctes.mkString(",\n")}\n$body"
 
-  /** CTE chain ending in `pairs(doc_a, doc_b)` — the MinHash LSH candidate
-    * pairs (mirrors [[TextOps.minhashPairs]]; shared by the cluster oracles).
+  /** CTE chain ending in `bands(doc_id, band, band_key)` — the MinHash band
+    * signatures (mirrors [[TextOps.minhashBands]]). The permutation constants
+    * (2j+1, 12345j+7, MinhashP) live HERE once; q_minhash_bands,
+    * q_minhash_pairs, and every cluster oracle build on this chain, so a
+    * constant change cannot desynchronize them.
     */
-  private lazy val minhashPairCtes: Seq[String] = {
+  private lazy val minhashBandCtes: Seq[String] = {
     val minExprs = (0 until TextOps.NumHashes).map { j =>
       s"min((h * ${2 * j + 1} + ${12345 * j + 7}) % ${TextOps.MinhashP}) AS mh_$j"
     }.mkString(",\n         ")
@@ -57,11 +60,80 @@ object SparkEntry {
       s"""mh AS (SELECT doc_id,
          |         $minExprs
          |       FROM hv GROUP BY doc_id)""".stripMargin,
-      s"bands AS (\n$bandSelects)",
-      """pairs AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-        |          FROM bands a JOIN bands b
-        |            ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id)""".stripMargin)
+      s"bands AS (\n$bandSelects)")
   }
+
+  /** [[minhashBandCtes]] + the band-bucket self-join → `pairs(doc_a, doc_b)`
+    * (mirrors [[TextOps.minhashPairs]]; shared by the cluster oracles). */
+  private lazy val minhashPairCtes: Seq[String] = minhashBandCtes :+
+    """pairs AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      |          FROM bands a JOIN bands b
+      |            ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id)""".stripMargin
+
+  /** Stopword-hit scores per language and their max (shared by q_langid and
+    * the corpus-selection `lng` CTE — ONE copy of the stopword lists). */
+  private val langScoresSql =
+    """SELECT doc_id, s_en, s_de, s_es, s_fr, s_zh,
+      |       greatest(s_en, s_de, s_es, s_fr, s_zh) AS m
+      |FROM (
+      |  SELECT doc_id,
+      |    len(list_filter(t, w -> w IN ('the','and','of','to','is'))) AS s_en,
+      |    len(list_filter(t, w -> w IN ('der','die','und','ist','das'))) AS s_de,
+      |    len(list_filter(t, w -> w IN ('el','la','de','que','es'))) AS s_es,
+      |    len(list_filter(t, w -> w IN ('le','la','les','est','et'))) AS s_fr,
+      |    len(list_filter(t, w -> w IN ('shi','de','le','zai','he'))) AS s_zh
+      |  FROM toks)""".stripMargin
+
+  private val predLangSql =
+    """CASE WHEN s_en = m AND m > 0 THEN 'en'
+      |     WHEN s_de = m AND m > 0 THEN 'de'
+      |     WHEN s_es = m AND m > 0 THEN 'es'
+      |     WHEN s_fr = m AND m > 0 THEN 'fr'
+      |     WHEN s_zh = m AND m > 0 THEN 'zh'
+      |     ELSE 'und' END""".stripMargin
+
+  private lazy val lngCte =
+    s"lng AS (SELECT doc_id, $predLangSql AS pred_lang FROM ($langScoresSql))"
+
+  /** Quality scorecard (mirrors [[TextOps.qualityScore]]'s score formula;
+    * shared by q_dedup_keep and q_corpus_select). */
+  private val qualCte =
+    """qual AS (
+      |  SELECT doc_id, round(
+      |    (CAST(len(list_filter(t, w -> w IN ('the','a','of','and','to','in','is','on'))) AS DOUBLE) / len(t)) * 2.0
+      |    - (CAST(length(regexp_extract_all(text, '[^a-zA-Z0-9 ]')) AS DOUBLE) / length(text)) * 5.0
+      |    + CASE WHEN len(t) >= 10 AND len(t) <= 1000 THEN 1.0 ELSE 0.0 END, 6) AS quality_score
+      |  FROM toks)""".stripMargin
+
+  /** Per-cluster representative pick over `cl` + `qual` (mirrors
+    * [[TextOps.keepBest]]; shared by q_dedup_keep and q_corpus_select). */
+  private val keepbCte =
+    """keepb AS (
+      |  SELECT cluster_id, doc_id, quality_score, n_docs FROM (
+      |    SELECT c.cluster_id, c.doc_id, q.quality_score,
+      |           count(*) OVER (PARTITION BY c.cluster_id) AS n_docs,
+      |           row_number() OVER (PARTITION BY c.cluster_id
+      |                              ORDER BY q.quality_score DESC, c.doc_id ASC) AS rn
+      |    FROM cl c JOIN qual q ON q.doc_id = c.doc_id)
+      |  WHERE rn = 1)""".stripMargin
+
+  /** Boilerplate ratio over the 3-shingle DF cut (mirrors
+    * [[TextOps.boilerplate]]; shared by q_boilerplate and q_corpus_select).
+    * Needs toks + sh in scope. */
+  private lazy val boilerRatioCtes: Seq[String] = Seq(
+    s"""exb AS (SELECT DISTINCT doc_id, ${h32sql("sg")} AS s
+       |        FROM (SELECT doc_id, unnest(s) AS sg FROM sh))""".stripMargin,
+    "bl AS (SELECT s FROM (SELECT s, count(*) AS df FROM exb GROUP BY s) WHERE df >= 5)",
+    """br AS (
+      |  SELECT d.doc_id, coalesce(t2.n_sh, 0) AS n_sh, coalesce(p.n_boiler, 0) AS n_boiler,
+      |         CASE WHEN coalesce(t2.n_sh, 0) > 0
+      |              THEN round(coalesce(p.n_boiler, 0) / t2.n_sh, 6) END AS boiler_ratio
+      |  FROM documents d
+      |  LEFT JOIN (SELECT doc_id, count(*) AS n_sh FROM exb GROUP BY doc_id) t2
+      |    ON t2.doc_id = d.doc_id
+      |  LEFT JOIN (SELECT e.doc_id, count(*) AS n_boiler FROM exb e JOIN bl USING (s)
+      |             GROUP BY e.doc_id) p
+      |    ON p.doc_id = d.doc_id)""".stripMargin)
 
   /** minhashPairCtes + recursive reachability closure → `cl(doc_id,
     * cluster_id)` with cluster_id = min doc_id in the connected component
@@ -1139,27 +1211,10 @@ object SparkEntry {
         |)""".stripMargin, toksCte),
 
     "q_langid" -> withCtes(
-      """SELECT doc_id,
-        |  CASE WHEN s_en = m AND m > 0 THEN 'en'
-        |       WHEN s_de = m AND m > 0 THEN 'de'
-        |       WHEN s_es = m AND m > 0 THEN 'es'
-        |       WHEN s_fr = m AND m > 0 THEN 'fr'
-        |       WHEN s_zh = m AND m > 0 THEN 'zh'
-        |       ELSE 'und' END AS pred_lang,
-        |  CAST(m AS BIGINT) AS score
-        |FROM (
-        |  SELECT doc_id, s_en, s_de, s_es, s_fr, s_zh,
-        |         greatest(s_en, s_de, s_es, s_fr, s_zh) AS m
-        |  FROM (
-        |    SELECT doc_id,
-        |      len(list_filter(t, w -> w IN ('the','and','of','to','is'))) AS s_en,
-        |      len(list_filter(t, w -> w IN ('der','die','und','ist','das'))) AS s_de,
-        |      len(list_filter(t, w -> w IN ('el','la','de','que','es'))) AS s_es,
-        |      len(list_filter(t, w -> w IN ('le','la','les','est','et'))) AS s_fr,
-        |      len(list_filter(t, w -> w IN ('shi','de','le','zai','he'))) AS s_zh
-        |    FROM toks
-        |  )
-        |)""".stripMargin, toksCte),
+      s"""SELECT doc_id,
+         |  $predLangSql AS pred_lang,
+         |  CAST(m AS BIGINT) AS score
+         |FROM ($langScoresSql)""".stripMargin, toksCte),
 
     "q_fingerprint" -> withCtes(
       s"""SELECT doc_id, md5(text) AS content_hash,
@@ -1176,44 +1231,11 @@ object SparkEntry {
         |       doc_id = min(doc_id) OVER (PARTITION BY md5(text)) AS is_canonical
         |FROM documents""".stripMargin,
 
-    "q_minhash_bands" -> {
-      val minExprs = (0 until TextOps.NumHashes).map { j =>
-        s"min((h * ${2 * j + 1} + ${12345 * j + 7}) % ${TextOps.MinhashP}) AS mh_$j"
-      }.mkString(",\n         ")
-      val bandSelects = (0 until TextOps.NumHashes / TextOps.BandRows).map { b =>
-        val key = (0 until TextOps.BandRows)
-          .map(r => s"mh_${b * TextOps.BandRows + r}").mkString(", ")
-        s"SELECT doc_id, CAST($b AS BIGINT) AS band, concat_ws('_', $key) AS band_key FROM mh"
-      }.mkString("\nUNION ALL\n")
-      withCtes(bandSelects, toksCte, shinglesCte,
-        s"""hv AS (SELECT doc_id, ${h32sql("sg")} AS h
-           |       FROM (SELECT doc_id, unnest(s) AS sg FROM sh))""".stripMargin,
-        s"""mh AS (SELECT doc_id,
-           |         $minExprs
-           |       FROM hv GROUP BY doc_id)""".stripMargin)
-    },
+    "q_minhash_bands" -> withCtes(
+      "SELECT doc_id, band, band_key FROM bands", minhashBandCtes: _*),
 
-    "q_minhash_pairs" -> {
-      val minExprs = (0 until TextOps.NumHashes).map { j =>
-        s"min((h * ${2 * j + 1} + ${12345 * j + 7}) % ${TextOps.MinhashP}) AS mh_$j"
-      }.mkString(",\n         ")
-      val bandSelects = (0 until TextOps.NumHashes / TextOps.BandRows).map { b =>
-        val key = (0 until TextOps.BandRows)
-          .map(r => s"mh_${b * TextOps.BandRows + r}").mkString(", ")
-        s"SELECT doc_id, CAST($b AS BIGINT) AS band, concat_ws('_', $key) AS band_key FROM mh"
-      }.mkString("\nUNION ALL\n")
-      withCtes(
-        """SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-          |FROM bands a JOIN bands b
-          |  ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id""".stripMargin,
-        toksCte, shinglesCte,
-        s"""hv AS (SELECT doc_id, ${h32sql("sg")} AS h
-           |       FROM (SELECT doc_id, unnest(s) AS sg FROM sh))""".stripMargin,
-        s"""mh AS (SELECT doc_id,
-           |         $minExprs
-           |       FROM hv GROUP BY doc_id)""".stripMargin,
-        s"bands AS (\n$bandSelects)")
-    },
+    "q_minhash_pairs" -> withCtes(
+      "SELECT doc_a, doc_b FROM pairs", minhashPairCtes: _*),
 
     "q_dedup_clusters" -> withRecursiveCtes(
       """SELECT doc_id, cluster_id,
@@ -1221,19 +1243,8 @@ object SparkEntry {
         |FROM cl""".stripMargin, clusterCtes: _*),
 
     "q_boilerplate" -> withCtes(
-      """SELECT d.doc_id, coalesce(t.n_sh, 0) AS n_sh, coalesce(p.n_boiler, 0) AS n_boiler,
-        |       CASE WHEN coalesce(t.n_sh, 0) > 0
-        |            THEN round(coalesce(p.n_boiler, 0) / t.n_sh, 6) END AS boiler_ratio
-        |FROM documents d
-        |LEFT JOIN tot t ON t.doc_id = d.doc_id
-        |LEFT JOIN per p ON p.doc_id = d.doc_id""".stripMargin,
-      toksCte, shinglesCte,
-      s"""ex AS (SELECT DISTINCT doc_id, ${h32sql("sg")} AS s
-         |       FROM (SELECT doc_id, unnest(s) AS sg FROM sh))""".stripMargin,
-      "dfc AS (SELECT s, count(*) AS df FROM ex GROUP BY s)",
-      "b AS (SELECT s FROM dfc WHERE df >= 5)",
-      "per AS (SELECT e.doc_id, count(*) AS n_boiler FROM ex e JOIN b USING (s) GROUP BY e.doc_id)",
-      "tot AS (SELECT doc_id, count(*) AS n_sh FROM ex GROUP BY doc_id)"),
+      "SELECT doc_id, n_sh, n_boiler, boiler_ratio FROM br",
+      (Seq(toksCte, shinglesCte) ++ boilerRatioCtes): _*),
 
     "q_corpus_select" -> withRecursiveCtes(
       """SELECT k.doc_id, k.cluster_id, CAST(k.n_docs AS BIGINT) AS n_docs,
@@ -1244,53 +1255,7 @@ object SparkEntry {
         |WHERE k.quality_score >= 1.1
         |  AND (br.boiler_ratio IS NULL OR br.boiler_ratio <= 0.05)
         |  AND l.pred_lang IN ('en')""".stripMargin,
-      (clusterCtes ++ Seq(
-        """qual AS (
-          |  SELECT doc_id, round(
-          |    (CAST(len(list_filter(t, w -> w IN ('the','a','of','and','to','in','is','on'))) AS DOUBLE) / len(t)) * 2.0
-          |    - (CAST(length(regexp_extract_all(text, '[^a-zA-Z0-9 ]')) AS DOUBLE) / length(text)) * 5.0
-          |    + CASE WHEN len(t) >= 10 AND len(t) <= 1000 THEN 1.0 ELSE 0.0 END, 6) AS quality_score
-          |  FROM toks)""".stripMargin,
-        """keepb AS (
-          |  SELECT cluster_id, doc_id, quality_score, n_docs FROM (
-          |    SELECT c.cluster_id, c.doc_id, q.quality_score,
-          |           count(*) OVER (PARTITION BY c.cluster_id) AS n_docs,
-          |           row_number() OVER (PARTITION BY c.cluster_id
-          |                              ORDER BY q.quality_score DESC, c.doc_id ASC) AS rn
-          |    FROM cl c JOIN qual q ON q.doc_id = c.doc_id)
-          |  WHERE rn = 1)""".stripMargin,
-        """lng AS (
-          |  SELECT doc_id,
-          |    CASE WHEN s_en = m AND m > 0 THEN 'en'
-          |         WHEN s_de = m AND m > 0 THEN 'de'
-          |         WHEN s_es = m AND m > 0 THEN 'es'
-          |         WHEN s_fr = m AND m > 0 THEN 'fr'
-          |         WHEN s_zh = m AND m > 0 THEN 'zh'
-          |         ELSE 'und' END AS pred_lang
-          |  FROM (
-          |    SELECT doc_id, s_en, s_de, s_es, s_fr, s_zh,
-          |           greatest(s_en, s_de, s_es, s_fr, s_zh) AS m
-          |    FROM (
-          |      SELECT doc_id,
-          |        len(list_filter(t, w -> w IN ('the','and','of','to','is'))) AS s_en,
-          |        len(list_filter(t, w -> w IN ('der','die','und','ist','das'))) AS s_de,
-          |        len(list_filter(t, w -> w IN ('el','la','de','que','es'))) AS s_es,
-          |        len(list_filter(t, w -> w IN ('le','la','les','est','et'))) AS s_fr,
-          |        len(list_filter(t, w -> w IN ('shi','de','le','zai','he'))) AS s_zh
-          |      FROM toks)))""".stripMargin,
-        s"""exb AS (SELECT DISTINCT doc_id, ${h32sql("sg")} AS s
-           |        FROM (SELECT doc_id, unnest(s) AS sg FROM sh))""".stripMargin,
-        "bl AS (SELECT s FROM (SELECT s, count(*) AS df FROM exb GROUP BY s) WHERE df >= 5)",
-        """br AS (
-          |  SELECT d.doc_id,
-          |         CASE WHEN coalesce(t2.n_sh, 0) > 0
-          |              THEN round(coalesce(p.n_boiler, 0) / t2.n_sh, 6) END AS boiler_ratio
-          |  FROM documents d
-          |  LEFT JOIN (SELECT doc_id, count(*) AS n_sh FROM exb GROUP BY doc_id) t2
-          |    ON t2.doc_id = d.doc_id
-          |  LEFT JOIN (SELECT e.doc_id, count(*) AS n_boiler FROM exb e JOIN bl USING (s)
-          |             GROUP BY e.doc_id) p
-          |    ON p.doc_id = d.doc_id)""".stripMargin)): _*),
+      (clusterCtes ++ Seq(qualCte, keepbCte, lngCte) ++ boilerRatioCtes): _*),
 
     "q_sample_mix" ->
       s"""SELECT doc_id, lang, sample_key FROM (
@@ -1422,20 +1387,8 @@ object SparkEntry {
     "q_dedup_keep" -> withRecursiveCtes(
       """SELECT cluster_id, doc_id AS keep_id, quality_score AS keep_quality,
         |       CAST(n_docs AS BIGINT) AS n_docs
-        |FROM (
-        |  SELECT c.cluster_id, c.doc_id, q.quality_score,
-        |         count(*) OVER (PARTITION BY c.cluster_id) AS n_docs,
-        |         row_number() OVER (PARTITION BY c.cluster_id
-        |                            ORDER BY q.quality_score DESC, c.doc_id ASC) AS rn
-        |  FROM cl c JOIN qual q ON q.doc_id = c.doc_id)
-        |WHERE rn = 1""".stripMargin,
-      (clusterCtes :+
-        """qual AS (
-          |  SELECT doc_id, round(
-          |    (CAST(len(list_filter(t, w -> w IN ('the','a','of','and','to','in','is','on'))) AS DOUBLE) / len(t)) * 2.0
-          |    - (CAST(length(regexp_extract_all(text, '[^a-zA-Z0-9 ]')) AS DOUBLE) / length(text)) * 5.0
-          |    + CASE WHEN len(t) >= 10 AND len(t) <= 1000 THEN 1.0 ELSE 0.0 END, 6) AS quality_score
-          |  FROM toks)""".stripMargin): _*),
+        |FROM keepb""".stripMargin,
+      (clusterCtes ++ Seq(qualCte, keepbCte)): _*),
 
     "q_simhash" -> {
       val votes = (0 until TextOps.SimhashBits)

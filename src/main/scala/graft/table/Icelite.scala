@@ -89,9 +89,22 @@ object Icelite {
     * slice hashes were computed from; a merge with a different PK spec must
     * not trust the slice claims (it takes the full-rewrite path). */
   case class Snapshot(id: Long, uuid: String, files: Seq[FileEntry], rowCount: Long,
-                      inputFingerprint: String, nBuckets: Int, bucketSpec: String) {
+                      inputFingerprint: String, nBuckets: Int, bucketSpec: String,
+                      schemaJson: String = "") {
     def filePaths: Seq[String] = files.map(_.path)
   }
+
+  /** Typed empty frame from the manifest's persisted schema — a zero-file
+    * snapshot (committed empty DataFrame) must still read back with its
+    * columns, or every downstream `.select`/`.filter` breaks only on the
+    * empty case. Falls back to a schemaless empty frame for pre-schema
+    * manifests. */
+  private def emptyTyped(spark: SparkSession, snap: Snapshot): DataFrame =
+    if (snap.schemaJson.isEmpty) spark.emptyDataFrame
+    else spark.createDataFrame(
+      new java.util.ArrayList[org.apache.spark.sql.Row](),
+      org.apache.spark.sql.types.DataType.fromJson(snap.schemaJson)
+        .asInstanceOf[org.apache.spark.sql.types.StructType])
 
   private def metaDir(table: String): Path = Paths.get(table, "meta")
   private def currentPtr(table: String): Path = Paths.get(table, "_CURRENT")
@@ -189,8 +202,12 @@ object Icelite {
           s"parseable file entries sum to ${files.map(_.rows).sum} " +
           s"(${files.size} entries) — unsupported/corrupt manifest or segment; " +
           "refusing to read a partial table")
+    val schemaJson = opt("schemaJson", "") match {
+      case "" => ""
+      case b64 => b64dec(b64)
+    }
     Snapshot(field("id").toLong, field("uuid"), files, rowCount,
-      field("inputFingerprint"), nBuckets, opt("bucketSpec", ""))
+      field("inputFingerprint"), nBuckets, opt("bucketSpec", ""), schemaJson)
   }
 
   /** The segment file names a manifest's raw JSON references (shared by the
@@ -250,6 +267,12 @@ object Icelite {
     import org.apache.spark.sql.types._
     schema.fields.iterator
       .filter(f => f.name != "__slice")
+      // stats keys are embedded verbatim in the segment JSON and re-parsed
+      // by regex — a quote/backslash/brace in an (exotic but legal) column
+      // name would corrupt the entry. Such columns simply get no zone map;
+      // pruning treats stat-less columns as always-overlapping, so this is
+      // an IO pessimization, never a semantics change.
+      .filter(f => f.name.forall(c => c >= ' ' && !"\"\\{}[]:,".contains(c)))
       .collect {
         case f if f.dataType == StringType => (f.name, true)
         case f if f.dataType.isInstanceOf[NumericType] => (f.name, false)
@@ -258,17 +281,41 @@ object Icelite {
   }
 
   /** Iceberg truncate-transform bounds: values longer than
-    * [[StatsTruncateLen]] become (prefix(min), prefix(max) with last char
-    * incremented). Returns None when a valid truncated upper bound can't be
-    * built (last kept char is already ￿) — no stats beats wrong stats. */
-  private def truncateBounds(mn: String, mx: String): Option[(String, String)] = {
-    val lo = if (mn.length <= StatsTruncateLen) mn else mn.substring(0, StatsTruncateLen)
+    * [[StatsTruncateLen]] become (prefix(min), prefix(max) with its last CODE
+    * POINT incremented). All transforms stay in code-point space — a
+    * UTF-16-unit truncation could split a surrogate pair and an incremented
+    * unit could be a lone surrogate, which `getBytes("UTF-8")` mangles to
+    * `?` on the manifest round-trip, silently shrinking the stored upper
+    * bound below real file values (unsound pruning). Cutting at a pair
+    * boundary and skipping the surrogate gap keeps the bound a valid string
+    * that is strictly greater in code-point (= UTF-8-byte = Spark UTF8String)
+    * order. Returns None when no valid upper bound exists (every kept code
+    * point is already U+10FFFF) — no stats beats wrong stats. */
+  private[graft] def truncateBounds(mn: String, mx: String): Option[(String, String)] = {
+    // longest prefix of ≤ StatsTruncateLen UTF-16 units ending on a code
+    // point boundary (a prefix is ≤ the original in byte order, so cutting
+    // the LOWER bound is always sound)
+    def cut(s: String): String =
+      if (s.length <= StatsTruncateLen) s
+      else s.substring(0,
+        if (Character.isHighSurrogate(s.charAt(StatsTruncateLen - 1))) StatsTruncateLen - 1
+        else StatsTruncateLen)
+    val lo = cut(mn)
     if (mx.length <= StatsTruncateLen) Some((lo, mx))
     else {
-      val p = mx.substring(0, StatsTruncateLen)
-      val last = p.charAt(StatsTruncateLen - 1)
-      if (last == Char.MaxValue) None
-      else Some((lo, p.substring(0, StatsTruncateLen - 1) + (last + 1).toChar))
+      // drop trailing U+10FFFF code points (nothing above them), then bump
+      // the last remaining code point past the surrogate gap if needed
+      var p = cut(mx)
+      while (p.nonEmpty && p.codePointBefore(p.length) >= Character.MAX_CODE_POINT)
+        p = p.substring(0, p.length - Character.charCount(p.codePointBefore(p.length)))
+      if (p.isEmpty) None
+      else {
+        val cp = p.codePointBefore(p.length)
+        val bumped = if (cp + 1 >= Character.MIN_SURROGATE && cp + 1 <= Character.MAX_SURROGATE)
+          Character.MAX_SURROGATE + 1 else cp + 1
+        Some((lo, p.substring(0, p.length - Character.charCount(cp))
+          + new String(Character.toChars(bumped))))
+      }
     }
   }
 
@@ -284,7 +331,7 @@ object Icelite {
     * crashed writer's marker ages out under the inflight TTL.
     */
   private def writeData(spark: SparkSession, df: DataFrame, table: String,
-                        uuid: String = UUID.randomUUID().toString): (String, Seq[FileEntry]) = {
+                        uuid: String = UUID.randomUUID().toString): (String, Seq[FileEntry], String) = {
     val marker = inflightMarker(table, uuid)
     Files.createDirectories(marker.getParent)
     Files.writeString(marker, "")
@@ -306,7 +353,9 @@ object Icelite {
     val entries =
       if (hasData) fileLineage(spark, dataDir, dataCols)
       else Seq.empty // empty write: only _SUCCESS
-    (uuid, entries)
+    val schemaJson = org.apache.spark.sql.types.StructType(
+      df.schema.fields.filterNot(_.name == "__slice")).json
+    (uuid, entries, schemaJson)
   }
 
   /** The commit section: id allocation + manifest + pointer swap, serialized
@@ -319,6 +368,7 @@ object Icelite {
     */
   private def commitEntries(table: String, uuid: String, entries: Seq[FileEntry],
                             inputFingerprint: String, nBuckets: Int, bucketSpec: String,
+                            schemaJson: String,
                             expectedBase: Option[Option[Long]]): Option[Snapshot] = {
     Files.createDirectories(metaDir(table))
     val rowCount = entries.map(_.rows).sum
@@ -333,7 +383,7 @@ object Icelite {
       var written = false
       while (!written) {
         val manifest = manifestJson(id, uuid, rowCount, inputFingerprint, nBuckets,
-          bucketSpec, segments)
+          bucketSpec, schemaJson, segments)
         try {
           Files.writeString(metaDir(table).resolve(s"snapshot-$id.json"),
             manifest, StandardOpenOption.CREATE_NEW)
@@ -348,7 +398,8 @@ object Icelite {
       Files.move(tmp, currentPtr(table), StandardCopyOption.ATOMIC_MOVE,
         StandardCopyOption.REPLACE_EXISTING)
       Files.deleteIfExists(inflightMarker(table, uuid)) // write is now durable
-      Some(Snapshot(id, uuid, entries, rowCount, inputFingerprint, nBuckets, bucketSpec))
+      Some(Snapshot(id, uuid, entries, rowCount, inputFingerprint, nBuckets, bucketSpec,
+        schemaJson))
     }
   }
 
@@ -357,8 +408,8 @@ object Icelite {
     */
   def commit(spark: SparkSession, df: DataFrame, table: String,
              inputFingerprint: String = ""): Snapshot = {
-    val (uuid, entries) = writeData(spark, df, table)
-    commitEntries(table, uuid, entries, inputFingerprint, 0, "", None).get
+    val (uuid, entries, schemaJson) = writeData(spark, df, table)
+    commitEntries(table, uuid, entries, inputFingerprint, 0, "", schemaJson, None).get
   }
 
   private def b64enc(s: String): String =
@@ -412,11 +463,12 @@ object Icelite {
 
   private def manifestJson(id: Long, uuid: String, rowCount: Long,
                            inputFingerprint: String, nBuckets: Int, bucketSpec: String,
-                           segments: Seq[String]): String = {
+                           schemaJson: String, segments: Seq[String]): String = {
     s"""{"id":$id,"uuid":"$uuid","rowCount":$rowCount,
        |"inputFingerprint":"$inputFingerprint",
        |"nBuckets":$nBuckets,
        |"bucketSpec":"$bucketSpec",
+       |"schemaJson":"${b64enc(schemaJson)}",
        |"segments":${segments.map("\"" + _ + "\"").mkString("[", ",", "]")}}""".stripMargin
   }
 
@@ -559,9 +611,9 @@ object Icelite {
           .select(df.columns.map(col) :+ col("__slice"): _*)
         // safe to stream from the current snapshot: data is written to a fresh
         // uuid dir, so the plan's input files are never overwritten mid-scan
-        val (uuid, newEntries) = writeData(spark, sliced, table, attemptUuid)
+        val (uuid, newEntries, schemaJson) = writeData(spark, sliced, table, attemptUuid)
         commitEntries(table, uuid, carried ++ newEntries, inputFingerprint,
-          nBuckets, spec, Some(baseId)) match {
+          nBuckets, spec, schemaJson, Some(baseId)) match {
           case Some(snap) => return snap
           case None => // base advanced under us: drop the orphan write, recompute
             deleteRecursively(Paths.get(table, "data", uuid))
@@ -648,9 +700,9 @@ object Icelite {
           .withColumn("__slice", concat_ws("_", lit(target), pmod(col("__h"), lit(target))))
           .drop("__h")
       }.reduce(_ unionByName _)
-      val (uuid, newEntries) = writeData(spark, rewritten, table)
+      val (uuid, newEntries, schemaJson) = writeData(spark, rewritten, table)
       commitEntries(table, uuid, carried ++ newEntries, base.inputFingerprint,
-        base.nBuckets, base.bucketSpec, Some(Some(baseId))) match {
+        base.nBuckets, base.bucketSpec, schemaJson, Some(Some(baseId))) match {
         case Some(snap) => return (rewriting.size, snap.files.size)
         case None =>
           deleteRecursively(Paths.get(table, "data", uuid))
@@ -676,7 +728,7 @@ object Icelite {
     */
   def readAt(spark: SparkSession, table: String, id: Long): DataFrame = {
     val snap = readManifest(table, id)
-    if (snap.files.isEmpty) spark.emptyDataFrame
+    if (snap.files.isEmpty) emptyTyped(spark, snap)
     else spark.read.parquet(snap.filePaths: _*)
   }
 
@@ -730,7 +782,7 @@ object Icelite {
     val id = currentSnapshotId(table).getOrElse(
       throw new IllegalStateException(s"no committed snapshot in $table"))
     val snap = readManifest(table, id)
-    if (snap.files.isEmpty) return spark.emptyDataFrame
+    if (snap.files.isEmpty) return emptyTyped(spark, snap)
     val keep = pruneFiles(snap.files, column, lo, hi)
     val base =
       if (keep.isEmpty)
@@ -755,8 +807,27 @@ object Icelite {
         try !(BigDecimal(mx) < BigDecimal(lo.toString) ||
               BigDecimal(mn) > BigDecimal(hi.toString))
         catch { case _: NumberFormatException => true }
-      } else !(mx < lo.toString || mn > hi.toString)
+      } else !(utf8Lt(mx, lo.toString) || utf8Lt(hi.toString, mn))
     files.filter(_.stats.get(column).forall { case (mn, mx) => overlaps(mn, mx) })
+  }
+
+  /** Unsigned UTF-8-byte comparison — Spark's UTF8String (and so its string
+    * min/max and filter) ordering, which differs from Java's UTF-16
+    * `compareTo` once supplementary characters are involved (surrogate units
+    * 0xD800-0xDFFF sort below U+E000..U+FFFF in UTF-16 but the code points
+    * they encode sort ABOVE all of them). Pruning with `compareTo` against
+    * Spark-computed min/max could wrongly drop files; all string bound
+    * comparisons go through this instead. */
+  private[graft] def utf8Lt(a: String, b: String): Boolean = {
+    val x = a.getBytes("UTF-8"); val y = b.getBytes("UTF-8")
+    val n = math.min(x.length, y.length)
+    var i = 0
+    while (i < n) {
+      val d = (x(i) & 0xff) - (y(i) & 0xff)
+      if (d != 0) return d < 0
+      i += 1
+    }
+    x.length < y.length
   }
 
   /** Incremental snapshot diff (the Iceberg changelog-scan analog): the rows
@@ -779,7 +850,13 @@ object Icelite {
     val schemaSource =
       if (bPaths.nonEmpty) spark.read.parquet(bPaths: _*)
       else if (aPaths.nonEmpty) spark.read.parquet(aPaths: _*)
-      else return spark.emptyDataFrame // identical manifests: no change
+      // identical manifests / empty table: no changed rows, but the result
+      // must still carry the pk + __change schema or a downstream
+      // .filter(col("__change") === ...) breaks only on the no-change case
+      else if (b.files.nonEmpty) spark.read.parquet(b.files.head.path)
+      else if (a.files.nonEmpty) spark.read.parquet(a.files.head.path)
+      else if (b.schemaJson.nonEmpty) emptyTyped(spark, b)
+      else return spark.emptyDataFrame // pre-schema manifest of an empty table
     val cols = schemaSource.columns.toSeq
     def side(paths: Seq[String], tag: String): DataFrame = {
       val df = if (paths.nonEmpty) spark.read.parquet(paths: _*)

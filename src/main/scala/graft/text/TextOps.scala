@@ -220,7 +220,14 @@ object TextOps {
         .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       // materialized (eager checkpoint) so freeing batchBands below is safe
       val pairs = newVsCorpus.unionByName(newVsNew).distinct().localCheckpoint()
-      Icelite.merge(spark, batchBands, sigTable, pkCols = Seq("doc_id", "band"))
+      // if the signature merge dies (lost-race exhaustion, IO), free the
+      // pairs blocks too — the caller never receives the handle, and a
+      // streaming foreachBatch loop would otherwise pin one pairs-sized
+      // block set per failed batch for the session's life
+      try Icelite.merge(spark, batchBands, sigTable, pkCols = Seq("doc_id", "band"))
+      catch { case e: Throwable =>
+        graft.Session.freeLocalCheckpoint(pairs); throw e
+      }
       pairs
     } finally graft.Session.freeLocalCheckpoint(batchBands)
   }

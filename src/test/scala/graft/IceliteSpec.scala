@@ -601,6 +601,83 @@ class ZoneMapSpec extends SparkSpec {
     // stats on a different column don't affect pruning on this one
     assert(Icelite.pruneFiles(legacy, "other", 1L, 2L).size === 2)
   }
+
+  test("string pruning uses UTF-8 byte order (Spark's), not UTF-16 compareTo") {
+    // U+E000 vs U+1F600: Java compareTo says emoji <  (surrogate units
+    // sort low); Spark min/max and filters order by UTF-8 bytes, where the
+    // emoji is GREATER. A compareTo-based pruner would drop this file.
+    val e000 = ""
+    val emoji = new String(Character.toChars(0x1F600))
+    assert(emoji.compareTo(e000) < 0, "fixture must expose the ordering split")
+    assert(Icelite.utf8Lt(e000, emoji), "UTF-8 order: E000 < U+1F600")
+    val entry = Icelite.FileEntry("/x/c.parquet", 0, 0, 2, 1L,
+      Map("s" -> (e000, emoji))) // Spark-computed bounds (UTF-8 min/max)
+    assert(Icelite.pruneFiles(Seq(entry), "s", e000, e000).nonEmpty,
+      "file containing the exact value must never be pruned")
+    // end-to-end: commit rows with both values, range-read each back
+    val t = tmpDir() + "/z4"
+    Icelite.commit(spark, Seq((1L, e000), (2L, emoji)).toDF("id", "s"), t)
+    assert(Icelite.readWhere(spark, t, "s", e000, e000)
+      .as[(Long, String)].collect().toSeq === Seq((1L, e000)))
+    assert(Icelite.readWhere(spark, t, "s", emoji, emoji)
+      .as[(Long, String)].collect().toSeq === Seq((2L, emoji)))
+  }
+
+  test("truncateBounds never splits surrogate pairs; bounds survive the b64 roundtrip") {
+    val n = Icelite.StatsTruncateLen
+    // 24th UTF-16 unit is the HIGH surrogate of an emoji: a unit-level cut
+    // would strand it and b64's UTF-8 encode would mangle it to '?'
+    val risky = "a" * (n - 1) + new String(Character.toChars(0x1F600)) + "tail"
+    val Some((lo, hi)) = Icelite.truncateBounds("a" * (n + 5), risky)
+    Seq(lo, hi).foreach { b =>
+      // a lone surrogate would encode to '?' and fail this roundtrip
+      assert(new String(b.getBytes("UTF-8"), "UTF-8") === b,
+        s"bound must survive the UTF-8 manifest roundtrip byte-identically: $b")
+    }
+    // upper bound soundness in UTF-8 byte order: hi > risky
+    assert(Icelite.utf8Lt(risky, hi), "incremented upper bound must exceed the value")
+    // lower bound: plain prefix, <= original
+    assert(!Icelite.utf8Lt("a" * (n + 5), lo))
+    // increment never lands in the surrogate gap
+    val preGap = "b" * (n - 1) + "퟿" + "tail"
+    val Some((_, hi2)) = Icelite.truncateBounds("b", preGap)
+    assert(hi2.last == '', "bump past the surrogate range, not into it")
+    // all-U+10FFFF: no valid upper bound exists -> no stats
+    val top = new String(Character.toChars(0x10FFFF)) * (n / 2 + 2)
+    assert(Icelite.truncateBounds("a", top).isEmpty)
+  }
+
+  test("exotic column names are stats-ineligible, not manifest-corrupting") {
+    val t = tmpDir() + "/z5"
+    val df = Seq((1L, "x"), (2L, "y")).toDF("id", "a\"b}")
+    Icelite.commit(spark, df, t)
+    val snap = Icelite.readManifest(t, Icelite.currentSnapshotId(t).get)
+    assert(snap.files.nonEmpty)
+    assert(snap.files.forall(f => f.stats.contains("id") && !f.stats.exists(_._1.contains("\""))))
+    assert(Icelite.read(spark, t).count() === 2)
+  }
+}
+
+/** Schema persistence: zero-file snapshots must read back typed. */
+class EmptySnapshotSchemaSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("empty commit keeps its schema through read/readWhere/diffSnapshots") {
+    val t = Files.createTempDirectory("emptyschema").toString + "/t"
+    val empty = Seq.empty[(Long, String)].toDF("id", "v")
+    Icelite.commit(spark, empty, t)
+    val back = Icelite.read(spark, t)
+    assert(back.columns.toSeq === Seq("id", "v"))
+    assert(back.schema("id").dataType.typeName === "long")
+    // downstream ops that name columns work on the empty table
+    assert(back.select("v").filter(col("id") > 0).count() === 0)
+    assert(Icelite.readWhere(spark, t, "id", 1L, 2L).columns.toSeq === Seq("id", "v"))
+    // identical snapshots diff to an empty-but-typed changelog
+    Icelite.commit(spark, Seq((1L, "a")).toDF("id", "v"), t)
+    val d = Icelite.diffSnapshots(spark, t, 2, 2, Seq("id"))
+    assert(d.columns.contains("__change"))
+    assert(d.filter(col("__change") === "insert").count() === 0)
+  }
 }
 
 /** Snapshot rollback + files metadata view. */
