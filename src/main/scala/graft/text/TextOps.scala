@@ -475,11 +475,34 @@ object TextOps {
   /** Within-document repetition signals — the Gopher/C4-style quality rules
     * that gate machine-generated and keyword-stuffed pages: duplicate-token
     * fraction, most-common-token fraction, most-common-bigram fraction.
-    * Pure narrow per-row HOFs over the token array — zero shuffle at any
-    * scale; cost is bounded by document length (O(d·n) per row where d =
-    * distinct tokens), never by corpus size. Empty docs yield NULL fractions.
+    * One codegen kernel call per row (the nested-HOF column form, kept below
+    * as [[repetitionStatsColumnForm]], is CodegenFallback-interpreted AND
+    * O(n·distinct) per row; the kernel is O(n)) — zero shuffle at any scale;
+    * cost is bounded by document length, never corpus size. Empty docs
+    * yield NULL fractions.
     */
   def repetitionStats(docs: DataFrame): DataFrame = {
+    val c = org.apache.spark.sql.graft.TextExpressions
+      .repetition_counts(split(col("text"), " "))
+    docs.select(col("doc_id"), c.as("__c"))
+      .select(col("doc_id"),
+        element_at(col("__c"), 1).as("n_tokens"),
+        element_at(col("__c"), 2).as("n_distinct"),
+        element_at(col("__c"), 3).as("__m"),
+        element_at(col("__c"), 4).as("__nb"),
+        element_at(col("__c"), 5).as("__mb"))
+      .select(col("doc_id"), col("n_tokens"), col("n_distinct"),
+        when(col("n_tokens") > 0,
+          round(lit(1.0) - col("n_distinct").cast("double") / col("n_tokens"), 6))
+          .as("dup_frac"),
+        when(col("n_tokens") > 0,
+          round(col("__m").cast("double") / col("n_tokens"), 6)).as("top_token_frac"),
+        when(col("__nb") > 0,
+          round(col("__mb").cast("double") / col("__nb"), 6)).as("top_bigram_frac"))
+  }
+
+  /** (column-tree formulation kept as the kernel's test reference) */
+  private[graft] def repetitionStatsColumnForm(docs: DataFrame): DataFrame = {
     def maxCount(arr: Column): Column =
       array_max(transform(array_distinct(arr), w => size(filter(arr, x => x === w))))
         .cast("long")

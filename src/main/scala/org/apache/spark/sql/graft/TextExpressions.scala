@@ -124,6 +124,54 @@ object GraftTextKernels {
     new GenericArrayData(mins)
   }
 
+  /** Within-document repetition counts over a token array, one pass:
+    * `[nTokens, nDistinct, topTokenCount, nBigrams, topBigramCount]`.
+    * Counting is by exact token bytes (hash-map, not a 32-bit hash — a
+    * truncated hash could collide and overcount at web corpus sizes);
+    * bigrams are adjacent tokens space-joined, matching the SQL-oracle
+    * formulation. Empty tokens are skipped so callers may pass a raw
+    * `split(text, ' ')`. Replaces the O(n·distinct) nested-HOF column form
+    * (interpreted CodegenFallback in Spark 4) with O(n) inside codegen.
+    */
+  def repetitionCounts(toks: ArrayData): ArrayData = {
+    val mAll = toks.numElements()
+    val tb = new Array[UTF8String](mAll)
+    var m = 0
+    var i = 0
+    while (i < mAll) {
+      val t = toks.getUTF8String(i)
+      if (t != null && t.numBytes() > 0) { tb(m) = t; m += 1 }
+      i += 1
+    }
+    val sum: java.util.function.BiFunction[Integer, Integer, Integer] =
+      (a, b) => Integer.valueOf(a.intValue() + b.intValue())
+    val uni = new java.util.HashMap[UTF8String, Integer]()
+    var top = 0
+    i = 0
+    while (i < m) {
+      val c = uni.merge(tb(i), Integer.valueOf(1), sum).intValue()
+      if (c > top) top = c
+      i += 1
+    }
+    var topB = 0
+    if (m >= 2) {
+      val bi = new java.util.HashMap[UTF8String, Integer]()
+      var j = 0
+      while (j < m - 1) {
+        val a = tb(j).getBytes; val b = tb(j + 1).getBytes
+        val buf = new Array[Byte](a.length + 1 + b.length)
+        System.arraycopy(a, 0, buf, 0, a.length)
+        buf(a.length) = ' '
+        System.arraycopy(b, 0, buf, a.length + 1, b.length)
+        val c = bi.merge(UTF8String.fromBytes(buf), Integer.valueOf(1), sum).intValue()
+        if (c > topB) topB = c
+        j += 1
+      }
+    }
+    new GenericArrayData(
+      Array[Long](m, uni.size(), top, math.max(0, m - 1), topB))
+  }
+
   /** SimHash signature over per-token hashes: bit b of the result is set iff
     * the sum over tokens of ±1 (by bit b of the token hash) is positive.
     * Null on an empty token set.
@@ -191,6 +239,18 @@ object TextExpressions {
       copy(left = l, right = r)
   }
 
+  /** One-pass repetition counts — array<string> → array<long> of
+    * [n, distinct, topCnt, nBigrams, topBigramCnt]. */
+  case class RepetitionCounts(child: Expression) extends UnaryExpression {
+    override def dataType: DataType = longArray
+    override protected def nullSafeEval(toks: Any): Any =
+      Kernels.repetitionCounts(toks.asInstanceOf[ArrayData])
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, toks => s"${ev.value} = $K.repetitionCounts($toks);")
+    override protected def withNewChildInternal(c: Expression): RepetitionCounts =
+      copy(child = c)
+  }
+
   /** SimHash signature long (null when the input set is empty). */
   case class SimhashSig(left: Expression, right: Expression) extends BinaryExpression {
     override def dataType: DataType = LongType
@@ -220,4 +280,7 @@ object TextExpressions {
   def simhash_sig(hashes: Column, bits: Int): Column =
     ExpressionUtils.column(SimhashSig(
       ExpressionUtils.expression(hashes), ExpressionUtils.expression(lit(bits))))
+
+  def repetition_counts(toks: Column): Column =
+    ExpressionUtils.column(RepetitionCounts(ExpressionUtils.expression(toks)))
 }

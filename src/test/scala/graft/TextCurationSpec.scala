@@ -52,6 +52,14 @@ class TextCurationSpec extends SparkSpec {
     assert(m(3L).isNullAt(3) && m(3L).isNullAt(4) && m(3L).isNullAt(5))
   }
 
+  test("repetition kernel equals the column-tree form on the corpus fixture") {
+    val corpus = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val a = TextOps.repetitionStats(corpus).collect().map(_.toSeq).toSet
+    val b = TextOps.repetitionStatsColumnForm(corpus).collect().map(_.toSeq).toSet
+    assert(a === b)
+    assert(a.nonEmpty)
+  }
+
   test("piiScrub masks emails, IPs, long digit runs and counts each pass") {
     val dirty = Seq(
       (0L, "mail me at jo.doe+x@sub.example.org or 192.168.0.1 id 12345678"),
