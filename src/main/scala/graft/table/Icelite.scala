@@ -767,6 +767,28 @@ object Icelite {
       .toDF("path", "mod", "res", "rows", "checksum", "stats")
   }
 
+  /** The table's snapshot history as a DataFrame (the Iceberg `.snapshots`
+    * metadata-table analog): one row per RETAINED manifest with its row
+    * count, file count, slice config, fingerprint, and whether it is the
+    * current pointer target — the audit surface for rollback decisions and
+    * retention tuning. Driver-side manifest reads only, no data IO.
+    */
+  def historyDf(spark: SparkSession, table: String): DataFrame = {
+    import spark.implicits._
+    val cur = currentSnapshotId(table)
+    val idRe = """snapshot-(\d+)\.json""".r
+    val ls = Files.list(metaDir(table))
+    val ids = try ls.iterator().asScala
+      .flatMap(p => idRe.findFirstMatchIn(p.getFileName.toString).map(_.group(1).toLong))
+      .toSeq.sorted finally ls.close()
+    ids.map { id =>
+      val s = readManifest(table, id)
+      (id, s.rowCount, s.files.size, s.nBuckets, s.bucketSpec,
+        s.inputFingerprint, cur.contains(id))
+    }.toDF("id", "row_count", "n_files", "n_buckets", "bucket_spec",
+      "input_fingerprint", "is_current")
+  }
+
   /** Manifest-level data skipping (the Iceberg scan-planning analog): read
     * only the files whose zone map can intersect `[lo, hi]` on `column`,
     * with the exact range filter applied on top (stats pruning is an IO

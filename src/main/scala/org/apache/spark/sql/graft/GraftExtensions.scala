@@ -47,6 +47,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction((FunctionIdentifier("graft_simhash_sig"),
       info("graft_simhash_sig", "simhash signature over token hashes"),
       (args: Seq[Expression]) => TextExpressions.SimhashSig(args(0), args(1))))
+    ext.injectFunction((FunctionIdentifier("graft_repetition_counts"),
+      info("graft_repetition_counts",
+        "[n, distinct, topCount, nBigrams, topBigramCount] of a token array"),
+      (args: Seq[Expression]) => TextExpressions.RepetitionCounts(args(0))))
     ext.injectFunction((FunctionIdentifier("graft_proj_roundtrip_err"),
       info("graft_proj_roundtrip_err", "CRS forward+inverse roundtrip residual"),
       (args: Seq[Expression]) => CellExpressions.ProjRoundtripErr(args(0), args(1))))

@@ -31,7 +31,8 @@ class ExtensionsSpec extends AnyFunSuite {
           |       graft_shingle_hashes(array('a','b','c','d'), 3) AS sh,
           |       graft_minhash_sig(array(7L, 11L), 16) AS mh,
           |       graft_simhash_sig(array(7L, 11L), 24) AS sim,
-          |       graft_proj_roundtrip_err(-45.0d, 75.0d) AS rt
+          |       graft_proj_roundtrip_err(-45.0d, 75.0d) AS rt,
+          |       graft_repetition_counts(array('a','a','b','a','a')) AS rep
           |""".stripMargin).collect()(0)
       assert(row.getLong(0) === graft.cells.Cells.cellAt(12.5, 51.5, 8))
       assert(row.getBoolean(1))
@@ -45,6 +46,8 @@ class ExtensionsSpec extends AnyFunSuite {
       assert(row.getSeq[Long](7).length === 16)
       assert(row.getLong(8) >= 0L)
       assert(row.getDouble(9) < 1e-6) // roundtrip residual is tiny
+      // a a b a a: 5 tokens, 2 distinct, top 4; bigrams aa ab ba aa -> top 2
+      assert(row.getSeq[Long](10) === Seq(5L, 2L, 4L, 4L, 2L))
     } finally {
       // do not stop (context shared with the other suites); restore pointers
       prior.foreach { p =>

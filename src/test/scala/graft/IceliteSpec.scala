@@ -704,6 +704,21 @@ class RollbackSpec extends SparkSpec {
     intercept[Exception] { Icelite.rollback(t, 99) }
   }
 
+  test("historyDf lists retained snapshots with the current flag; expire shrinks it") {
+    val t = Files.createTempDirectory("rollback").toString + "/r3"
+    Icelite.merge(spark, Seq((1L, "a")).toDF("id", "v"), t, Seq("id"))
+    Icelite.merge(spark, Seq((2L, "b")).toDF("id", "v"), t, Seq("id"))
+    Icelite.merge(spark, Seq((3L, "c")).toDF("id", "v"), t, Seq("id"))
+    val h = Icelite.historyDf(spark, t).collect().sortBy(_.getLong(0))
+    assert(h.map(_.getLong(0)).toSeq === Seq(1L, 2L, 3L))
+    assert(h.map(_.getLong(1)).toSeq === Seq(1L, 2L, 3L)) // cumulative row counts
+    assert(h.count(_.getBoolean(6)) === 1 && h.last.getBoolean(6))
+    assert(h.forall(_.getString(4) == "id"))
+    Icelite.expireSnapshots(t, retain = 2)
+    val h2 = Icelite.historyDf(spark, t).collect().map(_.getLong(0)).sorted
+    assert(h2.toSeq === Seq(2L, 3L))
+  }
+
   test("filesDf exposes slice claims, lineage, and zone maps without data IO") {
     val t = Files.createTempDirectory("rollback").toString + "/r2"
     Icelite.merge(spark, (0 until 100).map(i => (i.toLong, s"v$i")).toDF("id", "v"),
