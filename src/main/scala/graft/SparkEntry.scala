@@ -434,6 +434,11 @@ object SparkEntry {
     "q_token_budget" -> ((s, dir) =>
       TextOps.tokenBudget(s.read.parquet(s"$dir/documents.parquet"), budget = 2000L)),
 
+    // --- text: deterministic distributed corpus shuffle (seeded hash order
+    // within hash shards — the training-read permutation without a global sort)
+    "q_shuffle_shards" -> ((s, dir) =>
+      TextOps.shuffleShards(s.read.parquet(s"$dir/documents.parquet"), nShards = 16)),
+
     // --- text: within-doc repetition signals (Gopher/C4-style quality rules)
     "q_repetition" -> ((s, dir) =>
       TextOps.repetitionStats(s.read.parquet(s"$dir/documents.parquet"))),
@@ -1275,6 +1280,15 @@ object SparkEntry {
         |           AS running_tokens
         |  FROM toks)
         |WHERE running_tokens <= 2000""".stripMargin, toksCte),
+
+    "q_shuffle_shards" ->
+      s"""SELECT doc_id, shard, sort_key,
+         |       CAST(row_number() OVER (PARTITION BY shard
+         |             ORDER BY sort_key, doc_id) AS BIGINT) AS pos
+         |FROM (SELECT doc_id,
+         |             ${h32sql("'shuf1:' || CAST(doc_id AS VARCHAR)")} % 16 AS shard,
+         |             ${h32sql("'shuf1:' || CAST(doc_id AS VARCHAR)")} AS sort_key
+         |      FROM documents)""".stripMargin,
 
     "q_repetition" -> withCtes(
       """SELECT d.doc_id,

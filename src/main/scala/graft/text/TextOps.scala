@@ -472,6 +472,41 @@ object TextOps {
       .filter(col("running_tokens") <= budget)
   }
 
+  /** Deterministic corpus shuffle, distributed: shard each document by a
+    * seeded hash and order WITHIN the shard by the same hash (doc_id
+    * tiebreak) — the "global random permutation" a training run reads, built
+    * the only way it scales: no global sort, no single-partition window.
+    * Shard files concatenated in (shard, pos) order ARE the permutation, and
+    * the seed makes it reproducible across runs/engines (hash, not rand()).
+    * One shuffle on the shard key (md5-uniform by construction).
+    */
+  def shuffleShards(docs: DataFrame, nShards: Int, seed: String = "shuf1"): DataFrame = {
+    require(nShards > 0, "nShards must be positive")
+    val k = h32(concat(lit(seed + ":"), col("doc_id").cast("string")))
+    val w = Window.partitionBy(col("shard")).orderBy(col("sort_key"), col("doc_id"))
+    docs.select(col("doc_id"), (k % nShards).as("shard"), k.as("sort_key"))
+      .withColumn("pos", row_number().over(w).cast("long"))
+  }
+
+  /** [[tokenBudget]]'s scale path: the budget fill runs per (lang, SHARD) —
+    * a seeded-hash shard of `nShards` — so no single window partition ever
+    * holds a whole language (at 100 TB one dominant language would otherwise
+    * sort on one task). Semantics: each (lang, shard) fills up to `budget`
+    * tokens in doc_id order; with nShards = 1 this IS [[tokenBudget]]
+    * (spec-asserted). Total kept per language ≤ nShards·budget.
+    */
+  def tokenBudgetSharded(docs: DataFrame, budget: Long, nShards: Int,
+                         seed: String = "shard1"): DataFrame = {
+    require(nShards > 0, "nShards must be positive")
+    val toksN = size(tokens(col("text"))).cast("long")
+    val shard = h32(concat(lit(seed + ":"), col("doc_id").cast("string"))) % nShards
+    val w = Window.partitionBy(col("lang"), col("shard")).orderBy(col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    docs.select(col("doc_id"), col("lang"), shard.as("shard"), toksN.as("n_tokens"))
+      .withColumn("running_tokens", sum(col("n_tokens")).over(w))
+      .filter(col("running_tokens") <= budget)
+  }
+
   /** Within-document repetition signals — the Gopher/C4-style quality rules
     * that gate machine-generated and keyword-stuffed pages: duplicate-token
     * fraction, most-common-token fraction, most-common-bigram fraction.

@@ -93,6 +93,42 @@ class TextCurationSpec extends SparkSpec {
     assert((heads :+ c4.last._4).mkString(" ") === "one two three four five six seven eight nine ten")
   }
 
+  test("shuffleShards: a seeded permutation — every doc exactly once, dense positions, reproducible") {
+    val corpus = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val a = TextOps.shuffleShards(corpus, nShards = 8)
+      .as[(Long, Long, Long, Long)].collect()
+    assert(a.map(_._1).distinct.length === corpus.count())
+    // positions are dense 1..n within each shard
+    a.groupBy(_._2).foreach { case (_, rows) =>
+      assert(rows.map(_._4).sorted.toSeq === (1L to rows.length).toSeq)
+    }
+    assert(a.map(_._2).distinct.length > 1, "fixture must spread over shards")
+    // reproducible across runs; a different seed permutes differently
+    val b = TextOps.shuffleShards(corpus, nShards = 8).collect()
+    assert(a.map(r => (r._1, r._2, r._4)).toSet ===
+      b.map(r => (r.getLong(0), r.getLong(1), r.getLong(3))).toSet)
+    val c = TextOps.shuffleShards(corpus, nShards = 8, seed = "other")
+      .as[(Long, Long, Long, Long)].collect()
+    assert(c.map(r => (r._1, r._2, r._4)).toSet !==
+      a.map(r => (r._1, r._2, r._4)).toSet)
+  }
+
+  test("tokenBudgetSharded: per-(lang,shard) caps; nShards=1 equals tokenBudget") {
+    val corpus = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val sharded = TextOps.tokenBudgetSharded(corpus, budget = 500L, nShards = 4)
+      .as[(Long, String, Long, Long, Long)].collect()
+    sharded.groupBy(r => (r._2, r._3)).foreach { case (_, rows) =>
+      assert(rows.map(_._4).sum <= 500L, "each (lang, shard) respects the budget")
+    }
+    assert(sharded.map(_._3).distinct.length > 1)
+    val one = TextOps.tokenBudgetSharded(corpus, budget = 500L, nShards = 1)
+      .as[(Long, String, Long, Long, Long)].collect()
+      .map(r => (r._1, r._2, r._4, r._5)).toSet
+    val plain = TextOps.tokenBudget(corpus, budget = 500L)
+      .as[(Long, String, Long, Long)].collect().toSet
+    assert(one === plain, "single shard degenerates to the simple fill")
+  }
+
   test("packBins: bins partition docs per lang; totals are conserved") {
     val corpus = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
     val bins = TextOps.packBins(corpus, binTokens = 512L)
