@@ -69,18 +69,55 @@ object ConnectedComponents {
       .distinct()
   }
 
+  /** Edge lists at or under this size skip star contraction entirely: a
+    * driver-side union-find over ≤100k pairs is microseconds, while every
+    * contraction round costs two shuffles plus a job launch — the same
+    * hybrid as [[KnnJoin]]'s brute straggler short-circuit. The EDGE LIST is
+    * what's bounded (candidate pairs are bucket-bounded upstream), never the
+    * corpus; at web scale with millions of pairs the distributed path runs.
+    */
+  val SmallCutoff = 100000L
+
   /** (node, component) for every node that appears in `pairs` (two columns:
     * endpoints of an undirected edge; self-loops ignored). `component` is the
     * minimum node id reachable from the node. Nodes NOT in any pair don't
     * appear — callers left-join and coalesce to the node's own id.
+    * `smallCutoff` overrides the short-circuit threshold (0 forces the
+    * distributed path — used by specs to keep star contraction covered).
     */
-  def components(pairs: DataFrame): DataFrame = {
+  def components(pairs: DataFrame, smallCutoff: Long = SmallCutoff): DataFrame = {
     val Seq(a, b) = pairs.columns.toSeq.take(2).map(col)
     var edges = pairs
       .select(greatest(a, b).as("u"), least(a, b).as("v"))
       .where(col("u") =!= col("v"))
       .distinct()
       .localCheckpoint()
+    val edgeCount = edges.count()
+    if (edgeCount <= smallCutoff &&
+        edges.schema.fields.forall(_.dataType ==
+          org.apache.spark.sql.types.LongType)) {
+      val spark = pairs.sparkSession
+      import spark.implicits._
+      val es = edges.as[(Long, Long)].collect()
+      Session.freeLocalCheckpoint(edges)
+      // union-find, min-root union: roots only merge downward, so each
+      // root IS the minimum id of its component — the distributed label
+      val parent = scala.collection.mutable.HashMap.empty[Long, Long]
+      def find(x: Long): Long = {
+        var r = x
+        while (parent.getOrElse(r, r) != r) r = parent(r)
+        var c = x // path compression
+        while (parent.getOrElse(c, c) != c) { val n = parent(c); parent(c) = r; c = n }
+        r
+      }
+      es.foreach { case (u, v) =>
+        val ru = find(u); val rv = find(v)
+        if (ru != rv) { if (ru < rv) parent(rv) = ru else parent(ru) = rv }
+      }
+      val out = es.iterator.flatMap { case (u, v) => Iterator(u, v) }
+        .toArray.distinct.map(n => (n, find(n))).toSeq
+      return spark.createDataset(out).toDF("node", "component")
+    }
     // fixed-point check on a canonical multiset digest: one cheap aggregate
     // instead of a two-way anti-join per round. A digest collision could only
     // stop one round early, and the terminal star forest is itself a fixed

@@ -331,7 +331,9 @@ object TextOps {
     *
     * Scale: the component step is alternating star contraction
     * ([[graft.ops.ConnectedComponents]]) — O(log n) one-shuffle rounds over
-    * the pair list, never over the corpus; the final label join is a join on
+    * the pair list, never over the corpus (with a driver union-find
+    * short-circuit when the pair list is under 100k edges, where per-round
+    * job overhead would dominate); the final label join is a join on
     * doc_id (and the component side is ≤ the number of paired docs, i.e.
     * usually a small fraction of the corpus at web scale).
     */
