@@ -13,12 +13,12 @@ import graft.table.Icelite
   *
   * Usage: spark-submit --class graft.jobs.Main <jar> <job> <sfDir> <outRoot>
   *   job ∈ index | shelve | tile | knn | stacdocs | stacmeta | stream |
-  *         compact | dedup
+  *         compact | dedup | curate
   */
 object Main {
   def main(args: Array[String]): Unit = {
     require(args.length >= 3,
-      "usage: <index|shelve|tile|knn|stacdocs|stacmeta|stream|compact|dedup> <sfDir> <outRoot>")
+      "usage: <index|shelve|tile|knn|stacdocs|stacmeta|stream|compact|dedup|curate> <sfDir> <outRoot>")
     val Array(job, sfDir, outRoot) = args.take(3)
     val spark = Session.local(
       sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt, s"graft-$job")
@@ -140,6 +140,14 @@ object Main {
             println(s"""{"job":"dedup","docs":$nDocs,"clusters":${snap.rowCount},""" +
               s""""dropped":${nDocs - snap.rowCount}}""")
           } finally graft.Session.freeLocalCheckpoint(pairs)
+        case "curate" =>
+          // raw documents -> training chunks: scrub -> select -> mix ->
+          // token-budget -> chunk, committed as a snapshot (see CurateJob)
+          val r = CurateJob.run(spark, sfDir, outRoot)
+          println(s"""{"job":"curate","docs":${r.docsIn},"selected":${r.selected},""" +
+            s""""sampled":${r.sampled},"budgeted":${r.budgeted},""" +
+            s""""chunks":${r.chunks},"chunk_tokens":${r.chunkTokens},""" +
+            s""""snapshot":${r.snapshotId}}""")
         case other => sys.error(s"unknown job $other")
       }
     } finally spark.stop()
