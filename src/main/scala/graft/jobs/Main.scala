@@ -13,12 +13,12 @@ import graft.table.Icelite
   *
   * Usage: spark-submit --class graft.jobs.Main <jar> <job> <sfDir> <outRoot>
   *   job ∈ index | shelve | tile | knn | stacdocs | stacmeta | stream |
-  *         compact | dedup | curate
+  *         compact | dedup | curate | annindex
   */
 object Main {
   def main(args: Array[String]): Unit = {
     require(args.length >= 3,
-      "usage: <index|shelve|tile|knn|stacdocs|stacmeta|stream|compact|dedup|curate> <sfDir> <outRoot>")
+      "usage: <index|shelve|tile|knn|stacdocs|stacmeta|stream|compact|dedup|curate|annindex> <sfDir> <outRoot>")
     val Array(job, sfDir, outRoot) = args.take(3)
     val spark = Session.local(
       sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt, s"graft-$job")
@@ -140,6 +140,33 @@ object Main {
             println(s"""{"job":"dedup","docs":$nDocs,"clusters":${snap.rowCount},""" +
               s""""dropped":${nDocs - snap.rowCount}}""")
           } finally graft.Session.freeLocalCheckpoint(pairs)
+        case "annindex" =>
+          // ANN index build (one-time O(corpus)) + partition-pruned serving:
+          // IVF assignments committed to Icelite CELL-CLUSTERED (repartition
+          // by ivf_cell -> each data file holds whole cells -> the manifest
+          // zone map on ivf_cell prunes every non-probed cell's files at
+          // query time). A rebuild commit, not a merge: PK-hash slicing
+          // would scatter cells across files and kill the clustering —
+          // index refresh is a full (snapshot-versioned) rebuild, the
+          // standard trade for a sorted/clustered index layout.
+          import graft.sim.Ann
+          val vecs = spark.read.parquet(s"$sfDir/embeddings.parquet")
+          val idx = Ann.ivfAssign(vecs).repartition(Ann.IvfCells, col("ivf_cell"))
+          val table = s"$outRoot/ann_index"
+          val snap = Icelite.commit(spark, idx, table, s"annindex:$sfDir")
+          // demonstrate the pruning on one probe
+          val probeCell = 0L
+          val manifest = Icelite.readManifest(table, snap.id)
+          val openable = Icelite.pruneFiles(
+            manifest.files, "ivf_cell", probeCell, probeCell).size
+          // a single-cell probe: queries AND neighbors both live in the
+          // probed cell, so the pruned read IS the full working set
+          val served = Ann.ivfTopKFromIndex(
+            Icelite.readWhere(spark, table, "ivf_cell", probeCell, probeCell),
+            col("vec_id") % 10 === 0, k = 5)
+          println(s"""{"job":"annindex","vectors":${snap.rowCount},""" +
+            s""""files":${manifest.files.size},"files_probed":$openable,""" +
+            s""""probe_results":${served.count()},"snapshot":${snap.id}}""")
         case "curate" =>
           // raw documents -> training chunks: scrub -> select -> mix ->
           // token-budget -> chunk, committed as a snapshot (see CurateJob)

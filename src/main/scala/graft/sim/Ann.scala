@@ -248,8 +248,18 @@ object Ann {
   }
 
   /** ANN top-k probing only the query's IVF cell (recall < 1 by design). */
-  def ivfTopK(vecs: DataFrame, queryPred: Column, k: Int): DataFrame = {
-    val all = ivfAssign(vecs)
+  def ivfTopK(vecs: DataFrame, queryPred: Column, k: Int): DataFrame =
+    ivfTopKFromIndex(ivfAssign(vecs), queryPred, k)
+
+  /** [[ivfTopK]] over an ALREADY-BUILT index table — the production shape:
+    * build [[ivfAssign]] once (an `annindex` job commits it cell-clustered
+    * to Icelite, so each data file holds whole cells and the manifest zone
+    * map on `ivf_cell` lets [[graft.table.Icelite.readWhere]] open ONLY the
+    * probed cell's files), then serve queries without recomputing
+    * assignments or rescanning the corpus.
+    */
+  def ivfTopKFromIndex(index: DataFrame, queryPred: Column, k: Int): DataFrame = {
+    val all = index
     val q = all.filter(queryPred)
       .select(col("vec_id").as("query_id"), col("em").as("qem"),
         col("n2").as("qn2"), col("ivf_cell").as("qcell"))

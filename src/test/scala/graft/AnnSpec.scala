@@ -64,4 +64,33 @@ class QuantSpec extends SparkSpec {
     val recall = quant.intersect(brute).size.toDouble / brute.size
     assert(recall >= 0.9, s"int8 + 4k re-rank should lose <10% of true neighbors, got $recall")
   }
+
+  test("annindex: cell-clustered snapshot prunes probe reads; indexed top-k equals direct") {
+    import graft.table.Icelite
+    val t = java.nio.file.Files.createTempDirectory("annidx").toString + "/idx"
+    val idx = Ann.ivfAssign(vecs).repartition(Ann.IvfCells, col("ivf_cell"))
+    Icelite.commit(spark, idx, t)
+    val snap = Icelite.readManifest(t, Icelite.currentSnapshotId(t).get)
+    assert(snap.files.size > 1, "index must span multiple files for pruning to mean anything")
+    assert(snap.files.forall(_.stats.contains("ivf_cell")))
+    val probed = Icelite.pruneFiles(snap.files, "ivf_cell", 0L, 0L)
+    assert(probed.size < snap.files.size,
+      s"zone map must prune non-probed cells (kept ${probed.size}/${snap.files.size})")
+    // the persisted index serves identical results to the direct computation
+    val direct = Ann.ivfTopK(vecs, col("vec_id") < 32, k = 5)
+      .select("query_id", "neighbor_id", "rn").as[(Long, Long, Int)].collect().toSet
+    val indexed = Ann.ivfTopKFromIndex(Icelite.read(spark, t), col("vec_id") < 32, k = 5)
+      .select("query_id", "neighbor_id", "rn").as[(Long, Long, Int)].collect().toSet
+    assert(indexed === direct)
+    // a single-cell probe over the PRUNED read equals direct restricted to
+    // queries assigned to that cell (queries + neighbors co-live in the cell)
+    val cell0Queries = Icelite.read(spark, t)
+      .filter(col("ivf_cell") === 0L && col("vec_id") < 32)
+      .select("vec_id").as[Long].collect().toSet
+    val served = Ann.ivfTopKFromIndex(
+        Icelite.readWhere(spark, t, "ivf_cell", 0L, 0L), col("vec_id") < 32, k = 5)
+      .select("query_id", "neighbor_id", "rn").as[(Long, Long, Int)].collect().toSet
+    assert(served === direct.filter(r => cell0Queries(r._1)))
+    assert(served.nonEmpty, "fixture must place some queries in cell 0")
+  }
 }
