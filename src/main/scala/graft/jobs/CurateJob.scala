@@ -43,29 +43,37 @@ object CurateJob {
     val scrubbed = TextOps.piiScrub(docs)
       .select(col("doc_id"), col("clean_text"))
 
-    // 2-3. survivors ∩ sample, with lang for the budget fill
-    val selected = TextOps.corpusSelect(docs).select("doc_id")
-    val sampled = TextOps.sampleMix(docs, rates, defaultRate).select("doc_id")
-    val kept = docs.select(col("doc_id"), col("lang"), col("text"))
-      .join(selected, Seq("doc_id"), "left_semi")
-    val mixed = kept.join(sampled, Seq("doc_id"), "left_semi")
+    // Each stage's surviving IDS are checkpointed: an id frame is tiny
+    // relative to the corpus, and without the pin every downstream action
+    // (the next stage's semi-join, the commit, each metrics count) would
+    // re-run the whole selection pipeline — corpusSelect alone carries the
+    // minhash/cluster/boilerplate shuffles — from the scan up.
+    // 2-3. survivors ∩ sample
+    val selectedIds = TextOps.corpusSelect(docs).select("doc_id").localCheckpoint()
+    try {
+      val sampledIds = TextOps.sampleMix(docs, rates, defaultRate).select("doc_id")
+      val mixedIds = selectedIds.join(sampledIds, Seq("doc_id"), "left_semi")
+        .localCheckpoint()
+      try {
+        // 4. budget fill over the mixed set (deterministic doc_id order)
+        val mixedDocs = docs.select(col("doc_id"), col("lang"), col("text"))
+          .join(mixedIds, Seq("doc_id"), "left_semi")
+        val budgetedIds = TextOps.tokenBudgetSharded(
+          mixedDocs, budgetPerShard, nShards).select("doc_id").localCheckpoint()
+        try {
+          // 5. chunk the SCRUBBED text of the budgeted survivors
+          val toChunk = scrubbed.join(budgetedIds, Seq("doc_id"), "left_semi")
+            .select(col("doc_id"), col("clean_text").as("text"))
+          val chunks = TextOps.chunkWindows(toChunk, chunkSize, stride)
 
-    // 4. budget fill over the mixed set (deterministic doc_id order)
-    val budgeted = TextOps.tokenBudgetSharded(
-      mixed, budgetPerShard, nShards).select("doc_id")
-
-    // 5. chunk the SCRUBBED text of the budgeted survivors
-    val toChunk = scrubbed.join(budgeted, Seq("doc_id"), "left_semi")
-      .select(col("doc_id"), col("clean_text").as("text"))
-    val chunks = TextOps.chunkWindows(toChunk, chunkSize, stride)
-
-    val snap = Icelite.commit(spark, chunks, s"$outRoot/curated_chunks",
-      s"curate:$sfDir")
-    val chunkStats = Icelite.read(spark, s"$outRoot/curated_chunks")
-      .agg(coalesce(sum(col("n_chunk_tokens")), lit(0L))).head().getLong(0)
-    Result(docs.count(), count1(selected), count1(mixed.select("doc_id")),
-      count1(budgeted), snap.rowCount, chunkStats, snap.id)
+          val snap = Icelite.commit(spark, chunks, s"$outRoot/curated_chunks",
+            s"curate:$sfDir")
+          val chunkTokens = Icelite.read(spark, s"$outRoot/curated_chunks")
+            .agg(coalesce(sum(col("n_chunk_tokens")), lit(0L))).head().getLong(0)
+          Result(docs.count(), selectedIds.count(), mixedIds.count(),
+            budgetedIds.count(), snap.rowCount, chunkTokens, snap.id)
+        } finally graft.Session.freeLocalCheckpoint(budgetedIds)
+      } finally graft.Session.freeLocalCheckpoint(mixedIds)
+    } finally graft.Session.freeLocalCheckpoint(selectedIds)
   }
-
-  private def count1(df: DataFrame): Long = df.count()
 }

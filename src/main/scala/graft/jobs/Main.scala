@@ -154,18 +154,18 @@ object Main {
           val idx = Ann.ivfAssign(vecs).repartition(Ann.IvfCells, col("ivf_cell"))
           val table = s"$outRoot/ann_index"
           val snap = Icelite.commit(spark, idx, table, s"annindex:$sfDir")
-          // demonstrate the pruning on one probe
+          // demonstrate the pruning on one probe (the commit's own Snapshot
+          // already carries the file entries — no manifest re-read)
           val probeCell = 0L
-          val manifest = Icelite.readManifest(table, snap.id)
           val openable = Icelite.pruneFiles(
-            manifest.files, "ivf_cell", probeCell, probeCell).size
+            snap.files, "ivf_cell", probeCell, probeCell).size
           // a single-cell probe: queries AND neighbors both live in the
           // probed cell, so the pruned read IS the full working set
           val served = Ann.ivfTopKFromIndex(
             Icelite.readWhere(spark, table, "ivf_cell", probeCell, probeCell),
             col("vec_id") % 10 === 0, k = 5)
           println(s"""{"job":"annindex","vectors":${snap.rowCount},""" +
-            s""""files":${manifest.files.size},"files_probed":$openable,""" +
+            s""""files":${snap.files.size},"files_probed":$openable,""" +
             s""""probe_results":${served.count()},"snapshot":${snap.id}}""")
         case "curate" =>
           // raw documents -> training chunks: scrub -> select -> mix ->

@@ -92,8 +92,24 @@ object ConnectedComponents {
       .where(col("u") =!= col("v"))
       .distinct()
       .localCheckpoint()
-    val edgeCount = edges.count()
-    if (edgeCount <= smallCutoff &&
+    // fixed-point check on a canonical multiset digest: one cheap aggregate
+    // instead of a two-way anti-join per round. A digest collision could only
+    // stop one round early, and the terminal star forest is itself a fixed
+    // point of both rules, so iterating from a near-converged state is
+    // harmless.
+    // decimal(38,0) sum: a long sum of 64-bit hashes overflows (ANSI throws)
+    def digest(d: DataFrame): (Long, String) = {
+      val r = d.agg(
+        count(lit(1)).as("n"),
+        coalesce(sum(xxhash64(col("u"), col("v")).cast("decimal(38,0)")),
+          lit(0).cast("decimal(38,0)")).as("h")
+      ).head()
+      (r.getLong(0), String.valueOf(r.get(1)))
+    }
+    // the initial digest doubles as the short-circuit sizing — ONE action
+    // covers both decisions (no separate count job on the distributed path)
+    val d0 = digest(edges)
+    if (smallCutoff > 0 && d0._1 <= smallCutoff &&
         edges.schema.fields.forall(_.dataType ==
           org.apache.spark.sql.types.LongType)) {
       val spark = pairs.sparkSession
@@ -118,23 +134,9 @@ object ConnectedComponents {
         .toArray.distinct.map(n => (n, find(n))).toSeq
       return spark.createDataset(out).toDF("node", "component")
     }
-    // fixed-point check on a canonical multiset digest: one cheap aggregate
-    // instead of a two-way anti-join per round. A digest collision could only
-    // stop one round early, and the terminal star forest is itself a fixed
-    // point of both rules, so iterating from a near-converged state is
-    // harmless.
-    // decimal(38,0) sum: a long sum of 64-bit hashes overflows (ANSI throws)
-    def digest(d: DataFrame): (Long, String) = {
-      val r = d.agg(
-        count(lit(1)).as("n"),
-        coalesce(sum(xxhash64(col("u"), col("v")).cast("decimal(38,0)")),
-          lit(0).cast("decimal(38,0)")).as("h")
-      ).head()
-      (r.getLong(0), String.valueOf(r.get(1)))
-    }
     var converged = false
     var rounds = 0
-    var prevDigest = digest(edges) // carried forward: one digest action/round
+    var prevDigest = d0 // carried forward: one digest action/round
     while (!converged && rounds < MaxRounds) {
       rounds += 1
       val next = smallStar(largeStar(edges)).localCheckpoint()

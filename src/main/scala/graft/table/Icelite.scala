@@ -148,17 +148,22 @@ object Icelite {
     * delete live data.
     */
   private def parseEntries(txt: String, nBuckets: Int): Seq[FileEntry] = {
-    // stats values are base64 (alphabet has no '"' '{' '}'), so the entry and
-    // inner-pair regexes stay exact on arbitrary data values
+    // stats KEYS AND VALUES are base64 in the current `stats64` form (the
+    // alphabet has no '"' '{' '}'), so the entry and inner-pair regexes stay
+    // exact on arbitrary column names and data values; the earlier `stats`
+    // form (raw keys, b64 values) still parses for manifests written before
+    // the key encoding
     val statPair = """"([^"]+)":\["([A-Za-z0-9+/=]*)","([A-Za-z0-9+/=]*)"\]""".r
-    def parseStats(s: String): Map[String, (String, String)] =
+    def parseStats(s: String, keyB64: Boolean): Map[String, (String, String)] =
       if (s == null || s.isEmpty) Map.empty
       else statPair.findAllMatchIn(s)
-        .map(m => m.group(1) -> (b64dec(m.group(2)), b64dec(m.group(3)))).toMap
-    val sliceFiles = """\{"path":"([^"]*)","mod":(\d+),"res":(\d+),"rows":(\d+),"checksum":(-?\d+)(?:,"stats":\{([^}]*)\})?\}""".r
+        .map(m => (if (keyB64) b64dec(m.group(1)) else m.group(1))
+          -> (b64dec(m.group(2)), b64dec(m.group(3)))).toMap
+    val sliceFiles = """\{"path":"([^"]*)","mod":(\d+),"res":(\d+),"rows":(\d+),"checksum":(-?\d+)(?:,"stats(64)?":\{([^}]*)\})?\}""".r
       .findAllMatchIn(txt)
       .map(m => FileEntry(m.group(1), m.group(2).toInt, m.group(3).toInt,
-        m.group(4).toLong, m.group(5).toLong, parseStats(m.group(6))))
+        m.group(4).toLong, m.group(5).toLong,
+        parseStats(m.group(7), m.group(6) != null)))
       .toSeq
     if (sliceFiles.nonEmpty) sliceFiles
     else """\{"path":"([^"]*)","bucket":(-?\d+),"rows":(\d+),"checksum":(-?\d+)\}""".r
@@ -267,12 +272,6 @@ object Icelite {
     import org.apache.spark.sql.types._
     schema.fields.iterator
       .filter(f => f.name != "__slice")
-      // stats keys are embedded verbatim in the segment JSON and re-parsed
-      // by regex — a quote/backslash/brace in an (exotic but legal) column
-      // name would corrupt the entry. Such columns simply get no zone map;
-      // pruning treats stat-less columns as always-overlapping, so this is
-      // an IO pessimization, never a semantics change.
-      .filter(f => f.name.forall(c => c >= ' ' && !"\"\\{}[]:,".contains(c)))
       .collect {
         case f if f.dataType == StringType => (f.name, true)
         case f if f.dataType.isInstanceOf[NumericType] => (f.name, false)
@@ -418,11 +417,14 @@ object Icelite {
     new String(java.util.Base64.getDecoder.decode(s), "UTF-8")
 
   private def entryJson(f: FileEntry): String = {
+    // keys are b64 like the values: a column named with JSON structural
+    // chars must not corrupt the hand-rolled grammar (sorted by RAW name so
+    // the segment body — and its content-address — is deterministic)
     val stats =
       if (f.stats.isEmpty) ""
       else f.stats.toSeq.sortBy(_._1)
-        .map { case (c, (lo, hi)) => s""""$c":["${b64enc(lo)}","${b64enc(hi)}"]""" }
-        .mkString(""","stats":{""", ",", "}")
+        .map { case (c, (lo, hi)) => s""""${b64enc(c)}":["${b64enc(lo)}","${b64enc(hi)}"]""" }
+        .mkString(""","stats64":{""", ",", "}")
     s"""{"path":"${f.path}","mod":${f.mod},"res":${f.res},"rows":${f.rows},"checksum":${f.checksum}$stats}"""
   }
 
@@ -874,10 +876,13 @@ object Icelite {
       else if (aPaths.nonEmpty) spark.read.parquet(aPaths: _*)
       // identical manifests / empty table: no changed rows, but the result
       // must still carry the pk + __change schema or a downstream
-      // .filter(col("__change") === ...) breaks only on the no-change case
+      // .filter(col("__change") === ...) breaks only on the no-change case.
+      // The manifest's persisted schema keeps this path METADATA-ONLY (the
+      // "IO is O(changed slices)" contract: zero changed slices, zero file
+      // opens); parquet footers are only a pre-schemaJson-manifest fallback.
+      else if (b.schemaJson.nonEmpty) emptyTyped(spark, b)
       else if (b.files.nonEmpty) spark.read.parquet(b.files.head.path)
       else if (a.files.nonEmpty) spark.read.parquet(a.files.head.path)
-      else if (b.schemaJson.nonEmpty) emptyTyped(spark, b)
       else return spark.emptyDataFrame // pre-schema manifest of an empty table
     val cols = schemaSource.columns.toSeq
     def side(paths: Seq[String], tag: String): DataFrame = {

@@ -647,13 +647,35 @@ class ZoneMapSpec extends SparkSpec {
     assert(Icelite.truncateBounds("a", top).isEmpty)
   }
 
-  test("exotic column names are stats-ineligible, not manifest-corrupting") {
+  test("exotic column names keep zone maps (keys are b64 in the manifest)") {
     val t = tmpDir() + "/z5"
-    val df = Seq((1L, "x"), (2L, "y")).toDF("id", "a\"b}")
+    val weird = "a\"b}:,\\"
+    val df = Seq((1L, "x"), (2L, "y")).toDF("id", weird)
     Icelite.commit(spark, df, t)
     val snap = Icelite.readManifest(t, Icelite.currentSnapshotId(t).get)
     assert(snap.files.nonEmpty)
-    assert(snap.files.forall(f => f.stats.contains("id") && !f.stats.exists(_._1.contains("\""))))
+    assert(snap.files.forall(f => f.stats.contains("id") && f.stats.contains(weird)),
+      "JSON-structural chars in a column name must not cost its zone map")
+    assert(Icelite.read(spark, t).count() === 2)
+    assert(Icelite.pruneFiles(snap.files, weird, "x", "x").nonEmpty)
+    assert(Icelite.pruneFiles(snap.files, weird, "zz", "zz").isEmpty)
+  }
+
+  test("pre-key-encoding `stats` field (raw keys) still parses") {
+    val t = tmpDir() + "/z6"
+    Icelite.merge(spark, Seq((1L, "a"), (2L, "b")).toDF("id", "v"), t, Seq("id"), nBuckets = 2)
+    val snap = Icelite.readManifest(t, 1)
+    def b64(s: String) = java.util.Base64.getEncoder.encodeToString(s.getBytes("UTF-8"))
+    // rewrite the manifest inline with the OLD stats form: raw key, b64 values
+    val inline = snap.files.map(f =>
+      s"""{"path":"${f.path}","mod":${f.mod},"res":${f.res},"rows":${f.rows},"checksum":${f.checksum},"stats":{"id":["${b64("1")}","${b64("2")}"]}}""")
+      .mkString("[", ",", "]")
+    Files.writeString(Paths.get(t, "meta", "snapshot-1.json"),
+      s"""{"id":1,"uuid":"${snap.uuid}","rowCount":${snap.rowCount},
+         |"inputFingerprint":"","nBuckets":2,"bucketSpec":"id",
+         |"files":$inline}""".stripMargin)
+    val back = Icelite.readManifest(t, 1)
+    assert(back.files.forall(_.stats.get("id").contains(("1", "2"))))
     assert(Icelite.read(spark, t).count() === 2)
   }
 }
