@@ -802,18 +802,34 @@ object Icelite {
     * matching ones.
     */
   def readWhere(spark: SparkSession, table: String, column: String,
-                lo: Any, hi: Any): DataFrame = {
+                lo: Any, hi: Any): DataFrame =
+    readWhereAll(spark, table, Seq((column, lo, hi)))
+
+  /** Conjunctive multi-range scan planning: a file survives only if EVERY
+    * range can intersect its zone map (ranges on stat-less columns never
+    * prune). The exact conjunction is applied on top, so this is still an
+    * IO optimization, never a semantics change — e.g. a (time range ∧ id
+    * range) query over a table clustered by either column opens only the
+    * doubly-matching files.
+    */
+  def readWhereAll(spark: SparkSession, table: String,
+                   ranges: Seq[(String, Any, Any)]): DataFrame = {
+    require(ranges.nonEmpty, "readWhereAll needs at least one range")
     val id = currentSnapshotId(table).getOrElse(
       throw new IllegalStateException(s"no committed snapshot in $table"))
     val snap = readManifest(table, id)
     if (snap.files.isEmpty) return emptyTyped(spark, snap)
-    val keep = pruneFiles(snap.files, column, lo, hi)
+    val keep = ranges.foldLeft(snap.files) { case (fs, (c, lo, hi)) =>
+      pruneFiles(fs, c, lo, hi)
+    }
     val base =
       if (keep.isEmpty)
         // everything pruned: preserve the schema via an empty scan
         spark.read.parquet(snap.files.head.path).where(lit(false))
       else spark.read.parquet(keep.map(_.path): _*)
-    base.where(col(column) >= lit(lo) && col(column) <= lit(hi))
+    ranges.foldLeft(base) { case (df, (c, lo, hi)) =>
+      df.where(col(c) >= lit(lo) && col(c) <= lit(hi))
+    }
   }
 
   /** The manifest-pruning half of [[readWhere]], exposed for tests and scan

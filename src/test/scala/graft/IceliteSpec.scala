@@ -602,6 +602,28 @@ class ZoneMapSpec extends SparkSpec {
     assert(Icelite.pruneFiles(legacy, "other", 1L, 2L).size === 2)
   }
 
+  test("readWhereAll prunes on the conjunction of ranges; results exact") {
+    val t = tmpDir() + "/z7"
+    val df = (0 until 20000).map(i => (i.toLong, 1700000000L + i, s"n_$i"))
+      .toDF("id", "ts", "name")
+      .repartitionByRange(8, col("ts"))
+    Icelite.commit(spark, df, t)
+    val snap = Icelite.readManifest(t, Icelite.currentSnapshotId(t).get)
+    // both columns are range-clustered (id tracks ts), so the conjunction
+    // prunes at least as hard as either single range
+    val single = Icelite.pruneFiles(snap.files, "ts", 1700005000L, 1700007000L)
+    val both = Icelite.pruneFiles(single, "id", 5000L, 5500L)
+    assert(both.size <= single.size && both.size < snap.files.size)
+    val got = Icelite.readWhereAll(spark, t,
+        Seq(("ts", 1700005000L, 1700007000L), ("id", 5000L, 5500L)))
+      .as[(Long, Long, String)].collect().toSet
+    val want = Icelite.read(spark, t)
+      .filter(col("ts") >= 1700005000L && col("ts") <= 1700007000L
+        && col("id") >= 5000L && col("id") <= 5500L)
+      .as[(Long, Long, String)].collect().toSet
+    assert(got === want && got.size === 501)
+  }
+
   test("string pruning uses UTF-8 byte order (Spark's), not UTF-16 compareTo") {
     // U+E000 vs U+1F600: Java compareTo says emoji <  (surrogate units
     // sort low); Spark min/max and filters order by UTF-8 bytes, where the
