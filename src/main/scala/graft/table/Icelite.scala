@@ -106,6 +106,14 @@ object Icelite {
       org.apache.spark.sql.types.DataType.fromJson(snap.schemaJson)
         .asInstanceOf[org.apache.spark.sql.types.StructType])
 
+  /** Column reference by EXACT name: `col("a.b")` parses the dot as nested
+    * field access and fails on a legal flat column named `a.b`; backtick
+    * quoting (with doubled backticks) resolves the literal name. Every place
+    * Icelite turns a user schema's column NAMES back into Columns goes
+    * through this. */
+  private def qcol(name: String): org.apache.spark.sql.Column =
+    col("`" + name.replace("`", "``") + "`")
+
   private def metaDir(table: String): Path = Paths.get(table, "meta")
   private def currentPtr(table: String): Path = Paths.get(table, "_CURRENT")
 
@@ -153,7 +161,7 @@ object Icelite {
     // exact on arbitrary column names and data values; the earlier `stats`
     // form (raw keys, b64 values) still parses for manifests written before
     // the key encoding
-    val statPair = """"([^"]+)":\["([A-Za-z0-9+/=]*)","([A-Za-z0-9+/=]*)"\]""".r
+    val statPair = """"([^"]*)":\["([A-Za-z0-9+/=]*)","([A-Za-z0-9+/=]*)"\]""".r
     def parseStats(s: String, keyB64: Boolean): Map[String, (String, String)] =
       if (s == null || s.isEmpty) Map.empty
       else statPair.findAllMatchIn(s)
@@ -235,8 +243,8 @@ object Icelite {
     // lineage already pays)
     val statCols = statsEligible(written.schema)
     val statAggs = statCols.flatMap { case (c, _) =>
-      Seq(min(written(c)).cast("string").as(s"__mn_$c"),
-          max(written(c)).cast("string").as(s"__mx_$c"))
+      Seq(min(qcol(c)).cast("string").as(s"__mn_$c"),
+          max(qcol(c)).cast("string").as(s"__mx_$c"))
     }
     written
       .withColumn("__file", input_file_name())
@@ -244,7 +252,7 @@ object Icelite {
       // by default in Spark 4 and sum(long) would throw)
       .groupBy("__file")
       .agg(count(lit(1)).as("rows"),
-        (bit_xor(xxhash64(dataCols.map(col): _*)).as("checksum") +: statAggs): _*)
+        (bit_xor(xxhash64(dataCols.map(qcol): _*)).as("checksum") +: statAggs): _*)
       .collect()
       .map { r =>
         val path = new java.net.URI(r.getString(0)).getPath
@@ -551,7 +559,7 @@ object Icelite {
     require(!df.columns.contains("__slice") && !df.columns.contains("__h"),
       "__slice and __h are reserved columns")
     val spec = pkCols.mkString(",")
-    val hcol = pmod(hash(pkCols.map(col): _*), lit(Int.MaxValue))
+    val hcol = pmod(hash(pkCols.map(qcol): _*), lit(Int.MaxValue))
     // the batch is re-scanned per attempt (and per touched-slice probe); pin it
     val incoming = df.dropDuplicates(pkCols).withColumn("__h", hcol).localCheckpoint()
     try {
@@ -579,7 +587,7 @@ object Icelite {
                 val merged =
                   if (hot.isEmpty) incoming
                   else spark.read.parquet(hot.map(_.path): _*)
-                    .join(incoming.select(pkCols.map(col): _*).distinct(), pkCols, "left_anti")
+                    .join(incoming.select(pkCols.map(qcol): _*).distinct(), pkCols, "left_anti")
                     .withColumn("__h", hcol)
                     .unionByName(incoming)
                 // a hot slice's surviving rows stay concentrated in its
@@ -595,7 +603,7 @@ object Icelite {
                 // claims computed under a different key are untrustworthy —
                 // full re-slicing rewrite
                 val all = spark.read.parquet(base.filePaths: _*)
-                  .join(incoming.select(pkCols.map(col): _*).distinct(), pkCols, "left_anti")
+                  .join(incoming.select(pkCols.map(qcol): _*).distinct(), pkCols, "left_anti")
                   .withColumn("__h", hcol)
                   .unionByName(incoming)
                 (Seq.empty, all, base.rowCount + nIncoming, 1)
@@ -610,7 +618,7 @@ object Icelite {
           .withColumn("__slice", concat_ws("_", lit(m), pmod(col("__h"), lit(m))))
           // a USING join puts the key columns first — restore the caller's
           // column order so every data file shares one schema layout
-          .select(df.columns.map(col) :+ col("__slice"): _*)
+          .select(df.columns.map(qcol) :+ col("__slice"): _*)
         // safe to stream from the current snapshot: data is written to a fresh
         // uuid dir, so the plan's input files are never overwritten mid-scan
         val (uuid, newEntries, schemaJson) = writeData(spark, sliced, table, attemptUuid)
@@ -680,7 +688,7 @@ object Icelite {
           s"compact($table): table has no PK slice spec (written by commit(), " +
             "not merge()) — re-slice it with a merge first")
       val pkCols = base.bucketSpec.split(",").toSeq
-      val hcol = pmod(hash(pkCols.map(col): _*), lit(Int.MaxValue))
+      val hcol = pmod(hash(pkCols.map(qcol): _*), lit(Int.MaxValue))
       val baseM = math.max(1, base.nBuckets)
 
       val oversized = base.files.filter(_.rows > maxRowsPerFile)
@@ -824,11 +832,13 @@ object Icelite {
     }
     val base =
       if (keep.isEmpty)
-        // everything pruned: preserve the schema via an empty scan
-        spark.read.parquet(snap.files.head.path).where(lit(false))
+        // everything pruned: preserve the schema metadata-only when the
+        // manifest carries it (no footer open), else via an empty scan
+        if (snap.schemaJson.nonEmpty) emptyTyped(spark, snap)
+        else spark.read.parquet(snap.files.head.path).where(lit(false))
       else spark.read.parquet(keep.map(_.path): _*)
     ranges.foldLeft(base) { case (df, (c, lo, hi)) =>
-      df.where(col(c) >= lit(lo) && col(c) <= lit(hi))
+      df.where(qcol(c) >= lit(lo) && qcol(c) <= lit(hi))
     }
   }
 
@@ -905,9 +915,9 @@ object Icelite {
       val df = if (paths.nonEmpty) spark.read.parquet(paths: _*)
                else spark.createDataFrame(
                  new java.util.ArrayList[org.apache.spark.sql.Row](), schemaSource.schema)
-      df.select(pkCols.map(col) ++ Seq(
-        struct(cols.map(col): _*).as(s"__row_$tag"),
-        xxhash64(cols.map(col): _*).as(s"__h_$tag")): _*)
+      df.select(pkCols.map(qcol) ++ Seq(
+        struct(cols.map(qcol): _*).as(s"__row_$tag"),
+        xxhash64(cols.map(qcol): _*).as(s"__h_$tag")): _*)
     }
     val joined = side(aPaths, "old").join(side(bPaths, "new"), pkCols, "full_outer")
     val change = when(col("__h_new").isNull, lit("delete"))
@@ -936,7 +946,7 @@ object Icelite {
     val df = spark.read.parquet(snap.filePaths: _*)
     val row = df.agg(
       count(lit(1)).as("n"),
-      bit_xor(xxhash64(df.columns.map(col): _*)).as("x")).head()
+      bit_xor(xxhash64(df.columns.map(qcol): _*)).as("x")).head()
     val expectedXor = snap.files.map(_.checksum).foldLeft(0L)(_ ^ _)
     // a committed empty DataFrame still writes a schema-only part file:
     // files non-empty, zero rows, and bit_xor over zero rows is NULL —

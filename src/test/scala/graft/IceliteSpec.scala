@@ -683,6 +683,19 @@ class ZoneMapSpec extends SparkSpec {
     assert(Icelite.pruneFiles(snap.files, weird, "zz", "zz").isEmpty)
   }
 
+  test("dotted column names commit, keep zone maps, and merge (exact-name resolution)") {
+    val t = tmpDir() + "/z8"
+    // col("a.b") would parse as nested access — lineage/merge must resolve
+    // the literal flat name
+    Icelite.commit(spark, Seq((1L, "x"), (2L, "y")).toDF("id", "a.b"), t)
+    val snap = Icelite.readManifest(t, Icelite.currentSnapshotId(t).get)
+    assert(snap.files.forall(f => f.stats.contains("id") && f.stats.contains("a.b")))
+    assert(Icelite.read(spark, t).count() === 2)
+    Icelite.merge(spark, Seq((3L, "z")).toDF("id", "a.b"), t, Seq("id"))
+    assert(Icelite.read(spark, t).count() === 3)
+    assert(Icelite.verifyLineage(spark, t))
+  }
+
   test("pre-key-encoding `stats` field (raw keys) still parses") {
     val t = tmpDir() + "/z6"
     Icelite.merge(spark, Seq((1L, "a"), (2L, "b")).toDF("id", "v"), t, Seq("id"), nBuckets = 2)
