@@ -26,6 +26,12 @@ object SparkEntry {
   /** DuckDB mirror of TextOps.h32. */
   private def h32sql(s: String): String = s"(('0x' || substr(md5($s), 1, 8))::BIGINT)"
 
+  /** DuckDB mirror of the 60-bit kernel hash (GraftTextKernels
+    * .shingleHashesWide): bits 0-31 from md5 bytes 4-7, bits 32-59 from the
+    * low 28 bits of bytes 0-3. */
+  private def h60sql(s: String): String =
+    s"((('0x' || substr(md5($s), 1, 8))::BIGINT % 268435456) * 4294967296 + ('0x' || substr(md5($s), 9, 8))::BIGINT)"
+
   private val toksCte =
     "toks AS (SELECT *, list_filter(string_split(text, ' '), x -> x <> '') AS t FROM documents)"
 
@@ -1413,7 +1419,7 @@ object SparkEntry {
         .mkString(" + ")
       withCtes(s"SELECT doc_id, CAST($sim AS BIGINT) AS simhash FROM v",
         toksCte,
-        s"""hv AS (SELECT doc_id, ${h32sql("wd")} AS h
+        s"""hv AS (SELECT doc_id, ${h60sql("wd")} AS h
            |       FROM (SELECT doc_id, unnest(t) AS wd FROM toks))""".stripMargin,
         s"""v AS (SELECT doc_id,
            |        $votes
@@ -1439,7 +1445,7 @@ object SparkEntry {
            |FROM keys a JOIN keys b ON a.doc_id < b.doc_id AND ($anyBlock)
            |WHERE bit_count(xor(a.simhash, b.simhash)) <= 3""".stripMargin,
         toksCte,
-        s"""hv AS (SELECT doc_id, ${h32sql("wd")} AS h
+        s"""hv AS (SELECT doc_id, ${h60sql("wd")} AS h
            |       FROM (SELECT doc_id, unnest(t) AS wd FROM toks))""".stripMargin,
         s"""v AS (SELECT doc_id,
            |        $votes

@@ -232,21 +232,58 @@ object TextOps {
     } finally graft.Session.freeLocalCheckpoint(batchBands)
   }
 
-  val SimhashBits = 24
+  /** SimHash signature width. 60 bits (was 24 through round 4): the
+    * pigeonhole multi-index splits the signature into maxHamming+1 blocks,
+    * and block key space 2^(bits/blocks) is what bounds per-bucket occupancy
+    * — 24 bits gave 64 buckets per block, re-pairing quadratically past
+    * ~10^5 docs. 60 = 15-bit blocks at d=3 (32 768 buckets) and stays
+    * sign-free under BIGINT shifts in both engines (bit 63 would flip the
+    * sign, making `>>` arithmetic-shift semantics diverge). Token hashes
+    * come from the 60-bit md5 kernel ([[GraftTextKernels.shingleHashesWide]]
+    * via TextExpressions) — votes beyond the hash width would be all-minus
+    * noise. */
+  val SimhashBits = 60
 
-  /** SimHash: per-token 32-bit hash, per-bit ±1 votes summed over the
+  /** SimHash: per-token 60-bit hash, per-bit ±1 votes summed over the
     * document, sign → bit. Duplicate tokens vote once per occurrence.
     * Output (doc_id, simhash).
     *
     * Per-row kernel (token hashes = 1-shingles): vote fold happens inside
-    * one codegen call — no explode, no 24-sum groupBy, no shuffle. Docs with
+    * one codegen call — no explode, no 60-sum groupBy, no shuffle. Docs with
     * no tokens yield null and are dropped (matching the explode semantics).
     */
-  def simhash(docs: DataFrame): DataFrame =
+  def simhash(docs: DataFrame, bits: Int = SimhashBits): DataFrame =
     docs.select(col("doc_id"),
         org.apache.spark.sql.graft.TextExpressions.simhash_sig(
-          shingleHashes(col("text"), 1), SimhashBits).as("simhash"))
+          org.apache.spark.sql.graft.TextExpressions.shingle_hashes_wide(
+            split(col("text"), " "), 1), bits).as("simhash"))
       .filter(col("simhash").isNotNull)
+
+  /** Pigeonhole geometry for an estimated corpus size: (signature bits,
+    * bits per block). Blocks = maxHamming + 1 is forced by the pigeonhole
+    * guarantee; block width is the knob — `2^width ≥ est/50` keeps expected
+    * per-bucket occupancy ≤ 50 (so the per-block equi-join stays linear-ish
+    * in N), floored at 6 bits and capped by the 60-bit hash entropy budget.
+    * Past the cap (~10^8 docs per slice at d=3) near-dup extraction belongs
+    * to [[minhashPairs]] / banded embedding LSH — same scoping as round 4,
+    * now enforced by geometry instead of a scaladoc plea.
+    */
+  def simhashGeometry(estDocs: Long, maxHamming: Int = 3): (Int, Int) = {
+    val blocks = maxHamming + 1
+    val maxWidth = SimhashBits / blocks
+    val needed = math.ceil(math.log(math.max(1L, estDocs) / 50.0) /
+      math.log(2.0)).toInt
+    val width = math.min(maxWidth, math.max(6, needed))
+    (blocks * width, width)
+  }
+
+  /** [[simhashPairs]] with geometry derived from the corpus size (one cheap
+    * count — the documented driver-steering hybrid, same pattern as
+    * [[graft.ops.KnnJoin.pickLevel]]). */
+  def simhashPairsAuto(docs: DataFrame, maxHamming: Int = 3): DataFrame = {
+    val (bits, _) = simhashGeometry(docs.count(), maxHamming)
+    simhashPairs(docs, maxHamming, bits)
+  }
 
   /** SimHash near-dup pairs at hamming distance ≤ `maxHamming` via the
     * standard pigeonhole multi-index: split the signature into
@@ -256,21 +293,21 @@ object TextOps {
     * then verify the exact hamming distance with `bit_count(xor)`.
     * Output (doc_a, doc_b, hamming), doc_a < doc_b, each pair once.
     *
-    * Scale note (honest): block selectivity is 2^(bits/blocks) buckets — at
-    * 24 bits and d=3 that is 64 buckets per block, which re-pairs
-    * quadratically past ~10^5 docs. The knob is signature width (block width
-    * must track log2 N); at the 100 TB design point near-dup extraction
-    * runs on [[minhashPairs]] / banded embedding LSH, and this completes
-    * the simhash family for moderate-cardinality slices (per-geocell,
-    * per-domain) where the 64-way split is plenty.
+    * Scale: block selectivity is 2^(bits/blocks) buckets — 32 768 per block
+    * at the default 60-bit signature and d=3 (expected occupancy ≤ 50 up to
+    * ~1.6M docs; `bits` via [[simhashGeometry]]/[[simhashPairsAuto]] tracks
+    * log2 N below that). The hash entropy budget caps the derivation at 60
+    * bits; past ~10^8 docs per slice, near-dup extraction runs on
+    * [[minhashPairs]] / banded embedding LSH.
     */
-  def simhashPairs(docs: DataFrame, maxHamming: Int = 3): DataFrame = {
+  def simhashPairs(docs: DataFrame, maxHamming: Int = 3,
+                   bits: Int = SimhashBits): DataFrame = {
     val blocks = maxHamming + 1
-    val blockBits = SimhashBits / blocks
+    val blockBits = bits / blocks
     // pin the signatures: the multi-index is a union of `blocks` self-joins,
     // i.e. 2·blocks plan references — without this every branch re-scans and
     // re-tokenizes+hashes the corpus (8× the work at maxHamming = 3)
-    val sigs = simhash(docs).localCheckpoint()
+    val sigs = simhash(docs, bits).localCheckpoint()
     def side(tag: String): DataFrame = {
       val cols = col("doc_id").as(s"id_$tag") +: col("simhash").as(s"sh_$tag") +:
         (0 until blocks).map(b => shiftright(col("simhash"), b * blockBits)
@@ -358,9 +395,19 @@ object TextOps {
     * quality comes from [[qualityScore]] so the scan computes it narrowly
     * before the shuffle.
     */
-  def keepBest(docs: DataFrame, pairs: DataFrame): DataFrame = {
-    val clusters = dupClusters(docs, pairs)
-    val quality = qualityScore(docs).select(col("doc_id"), col("quality_score"))
+  def keepBest(docs: DataFrame, pairs: DataFrame): DataFrame =
+    keepBestScored(qualityScore(docs).select(col("doc_id"), col("quality_score")), pairs)
+
+  /** [[keepBest]] over a PRE-SCORED (doc_id, quality_score) frame — the
+    * multi-batch shape: a scheduler accumulates per-doc scores and pairs in
+    * persistent tables across ingests, then rebuilds keep-best from the FULL
+    * corpus-so-far, so a cluster whose best member arrived in an earlier
+    * batch still picks that member (scoring only the current batch would
+    * silently crown a worse representative — see jobs.Main `dedup`).
+    */
+  def keepBestScored(scored: DataFrame, pairs: DataFrame): DataFrame = {
+    val clusters = dupClusters(scored.select(col("doc_id")), pairs)
+    val quality = scored.select(col("doc_id"), col("quality_score"))
     val w = Window.partitionBy(col("cluster_id"))
       .orderBy(col("quality_score").desc, col("doc_id").asc)
     clusters.join(quality, Seq("doc_id"))

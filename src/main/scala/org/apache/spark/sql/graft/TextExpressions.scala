@@ -43,6 +43,17 @@ object GraftTextKernels {
       ((d(2) & 0xffL) << 8) | (d(3) & 0xffL)
   }
 
+  /** 60-bit hash from one digest: bits 0-31 = bytes 4-7 (unsigned BE),
+    * bits 32-59 = low 28 bits of bytes 0-3. Non-negative by construction. */
+  private def h60digest(md: MessageDigest): Long = {
+    val d = md.digest()
+    val hi = ((d(0) & 0xffL) << 24) | ((d(1) & 0xffL) << 16) |
+      ((d(2) & 0xffL) << 8) | (d(3) & 0xffL)
+    val lo = ((d(4) & 0xffL) << 24) | ((d(5) & 0xffL) << 16) |
+      ((d(6) & 0xffL) << 8) | (d(7) & 0xffL)
+    ((hi & 0x0fffffffL) << 32) | lo
+  }
+
   /** First-32-bits-of-md5 of a string's UTF-8 bytes as a non-negative long. */
   def h32(s: UTF8String): Long = {
     val md = md5Local.get(); md.reset()
@@ -56,7 +67,22 @@ object GraftTextKernels {
     * pipeline then runs inside one codegen'd call. Fewer than n tokens ⇒
     * empty array (matching the explode-drops-empty semantics).
     */
-  def shingleHashes(toks: ArrayData, n: Int): ArrayData = {
+  def shingleHashes(toks: ArrayData, n: Int): ArrayData =
+    shingleHashesImpl(toks, n, wide = false)
+
+  /** [[shingleHashes]] with SIXTY-bit hashes — bits 0-31 from md5 bytes 4-7,
+    * bits 32-59 from the low 28 bits of bytes 0-3 (all values non-negative
+    * and < 2^60, so BIGINT shifts stay sign-free in both engines). DuckDB
+    * mirror: `(('0x'||substr(md5(s),1,8))::BIGINT % 268435456) * 4294967296
+    * + ('0x'||substr(md5(s),9,8))::BIGINT`. The entropy budget behind the
+    * widened SimHash signature — a 24-bit signature's pigeonhole blocks
+    * re-pair quadratically past ~10^5 docs (round-4 verdict), and bit
+    * votes beyond the token hash's width are all-minus noise.
+    */
+  def shingleHashesWide(toks: ArrayData, n: Int): ArrayData =
+    shingleHashesImpl(toks, n, wide = true)
+
+  private def shingleHashesImpl(toks: ArrayData, n: Int, wide: Boolean): ArrayData = {
     val mAll = toks.numElements()
     // collect non-empty token bytes once
     var m = 0
@@ -95,7 +121,7 @@ object GraftTextKernels {
         t += 1
       }
       md.reset(); md.update(buf, 0, pos)
-      out(s) = h32digest(md)
+      out(s) = if (wide) h60digest(md) else h32digest(md)
       s += 1
     }
     new GenericArrayData(out)
@@ -225,6 +251,18 @@ object TextExpressions {
       copy(left = l, right = r)
   }
 
+  /** 60-bit variant of [[ShingleHashes]] (SimHash entropy budget). */
+  case class ShingleHashesWide(left: Expression, right: Expression) extends BinaryExpression {
+    override def dataType: DataType = longArray
+    override protected def nullSafeEval(toks: Any, n: Any): Any =
+      Kernels.shingleHashesWide(toks.asInstanceOf[ArrayData], n.asInstanceOf[Int])
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, (toks, n) =>
+        s"${ev.value} = $K.shingleHashesWide($toks, $n);")
+    override protected def withNewChildrenInternal(l: Expression, r: Expression): ShingleHashesWide =
+      copy(left = l, right = r)
+  }
+
   /** MinHash signature array (null when the input set is empty). */
   case class MinhashSig(left: Expression, right: Expression) extends BinaryExpression {
     override def dataType: DataType = longArray
@@ -271,6 +309,10 @@ object TextExpressions {
 
   def shingle_hashes(toks: Column, n: Int): Column =
     ExpressionUtils.column(ShingleHashes(
+      ExpressionUtils.expression(toks), ExpressionUtils.expression(lit(n))))
+
+  def shingle_hashes_wide(toks: Column, n: Int): Column =
+    ExpressionUtils.column(ShingleHashesWide(
       ExpressionUtils.expression(toks), ExpressionUtils.expression(lit(n))))
 
   def minhash_sig(hashes: Column, numHashes: Int): Column =

@@ -30,6 +30,33 @@ class TextPairsSpec extends SparkSpec {
       "pigeonhole blocks must recover EVERY pair within the distance — zero recall loss")
     assert(got.nonEmpty, "fixture must contain near-dup pairs for the test to bite")
   }
+
+  test("simhash block buckets stay bounded at the geometry derived for the corpus size") {
+    // 200k synthetic docs, 7 pseudo-random words each (odd count: an even
+    // token count ties votes at zero and biases every bit toward 0, which
+    // would pile mass into low buckets and test the bias, not the geometry)
+    val n = 200000L
+    val (bits, width) = TextOps.simhashGeometry(n)
+    assert(bits === 48 && width === 12, s"geometry for 200k docs: got ($bits, $width)")
+    // cap honored at the entropy budget; floor honored for small slices
+    assert(TextOps.simhashGeometry(1000000000L) === (60, 15))
+    assert(TextOps.simhashGeometry(100L) === (24, 6))
+    val docs = spark.range(n).select(col("id").as("doc_id"),
+      concat_ws(" ", (0 until 7).map(j =>
+        substring(md5(concat(col("id").cast("string"), lit(s"-$j"))), 1, 8)): _*).as("text"))
+    val sigs = TextOps.simhash(docs, bits).localCheckpoint()
+    try {
+      val blocks = 4
+      val maxOcc = (0 until blocks).map { b =>
+        sigs.select(shiftright(col("simhash"), b * width)
+            .bitwiseAND(lit((1L << width) - 1)).as("k"))
+          .groupBy("k").count().agg(max("count")).head().getLong(0)
+      }.max
+      val expected = n.toDouble / (1L << width) // ~49 per bucket
+      assert(maxOcc <= expected * 10 + 50,
+        s"hot block bucket at $maxOcc vs expected ~$expected — geometry failed to bound occupancy")
+    } finally graft.Session.freeLocalCheckpoint(sigs)
+  }
 }
 
 /** Connected-components cluster resolution vs a driver-side union-find. */
@@ -134,5 +161,34 @@ class IncrementalDedupSpec extends SparkSpec {
     val sigRows = graft.table.Icelite.read(spark, t).count()
     assert(sigRows === TextOps.minhashBands(docs).count(),
       "signature table holds exactly one row per (doc, band)")
+  }
+
+  test("multi-batch keep-best from accumulated tables equals full-corpus keepBest") {
+    // the jobs.Main `dedup` accumulation shape: per-batch pairs and quality
+    // scores merged into persistent tables, keep-best rebuilt from the full
+    // corpus-so-far — a cluster whose better member arrived in an earlier
+    // batch must keep that member
+    import graft.table.Icelite
+    val root = java.nio.file.Files.createTempDirectory("dedupjob").toString
+    val docs = spark.read.parquet("/root/testdata/sf0.01/documents.parquet").localCheckpoint()
+    val batches = Seq(docs.filter(col("doc_id") % 2 === 0), docs.filter(col("doc_id") % 2 === 1))
+    batches.foreach { b =>
+      val pairs = TextOps.incrementalDedup(spark, b, s"$root/sigs")
+      try {
+        Icelite.merge(spark, pairs, s"$root/pairs", Seq("doc_a", "doc_b"))
+        Icelite.merge(spark,
+          TextOps.qualityScore(b).select(col("doc_id"), col("quality_score")),
+          s"$root/quality", Seq("doc_id"))
+      } finally graft.Session.freeLocalCheckpoint(pairs)
+    }
+    def keyOf(df: org.apache.spark.sql.DataFrame) =
+      df.select("cluster_id", "keep_id", "keep_quality", "n_docs")
+        .as[(Long, Long, Double, Long)].collect().toSet
+    val incremental = keyOf(TextOps.keepBestScored(
+      Icelite.read(spark, s"$root/quality"), Icelite.read(spark, s"$root/pairs")))
+    val full = keyOf(TextOps.keepBest(docs, TextOps.minhashPairs(docs)))
+    assert(incremental === full,
+      "accumulated keep-best must match the full-corpus recompute")
+    graft.Session.freeLocalCheckpoint(docs)
   }
 }
