@@ -32,6 +32,59 @@ class AnnSpec extends SparkSpec {
     assert(recallBanded >= 0.3, s"banded recall too low: $recallBanded")
   }
 
+  test("bandsFor solves the b x r amplification: target met at threshold, high-precision r preferred") {
+    for (t <- Seq(0.4, 0.6, 0.7, 0.8, 0.9); target <- Seq(0.5, 0.8, 0.9)) {
+      val (b, r) = Ann.bandsFor(t, target)
+      assert(Ann.predictedRecall(b, r, t) >= target - 1e-9,
+        s"solver geometry ($b x $r) misses recall $target at cos $t")
+      // maximal-r preference: one more plane per band must be infeasible
+      // within the band cap (otherwise the solver left precision on the table)
+      if (r < 12) {
+        val pr1 = math.pow(Ann.planeAgreeP(t), r + 1)
+        val need = math.ceil(math.log1p(-target) / math.log1p(-pr1)).toInt
+        assert(need > 16, s"cos $t target $target: r=${r + 1} was feasible with $need <= 16 bands")
+      }
+    }
+    // tighter thresholds afford more planes per band at the same band budget
+    val (_, rLoose) = Ann.bandsFor(0.4, 0.8)
+    val (_, rTight) = Ann.bandsFor(0.9, 0.8)
+    assert(rTight > rLoose)
+  }
+
+  test("tuned banded LSH measured recall at cos>=0.7 matches the solver's prediction (planted near-dups)") {
+    // the fixture's max pair cosine is ~0.51 — plant a high-sim tier: one
+    // clone per vector, perturbed by ~0.9x-rms deterministic noise so the
+    // (original, clone) cosine lands around the 0.7-0.9 band
+    val rms = sqrt(aggregate(col("embedding"),
+      lit(0.0d), (acc, x) => acc + x.cast("double") * x.cast("double")) / 64.0)
+    val noisy = transform(col("embedding"), (x, i) =>
+      (x.cast("double") + rms * 0.9 *
+        ((pmod(xxhash64(col("vec_id"), i), lit(2001)) - 1000).cast("double") / 1000.0)
+        ).cast("float"))
+    val clones = vecs.select((col("vec_id") + 1000000).as("vec_id"), noisy.as("embedding"))
+    val planted = vecs.select("vec_id", "embedding").unionByName(clones).localCheckpoint()
+    try {
+      val thr = 0.7
+      val truth = Ann.cosinePairs(planted, thr)
+        .select(col("id_a"), col("id_b"), col("cos_sim"))
+        .as[(Long, Long, Double)].collect()
+      assert(truth.length >= 50, s"planting must create a cos>=$thr tier, got ${truth.length}")
+      val (b, r) = Ann.bandsFor(thr, 0.8)
+      val got = Ann.lshPairsTuned(planted, thr, 0.8)
+        .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+      assert(got.subsetOf(truth.map(p => (p._1, p._2)).toSet))
+      val measured = got.size.toDouble / truth.length
+      // prediction integrates the formula over the TRUE pair cosines (recall
+      // at the threshold is the floor; pairs above it do better)
+      val predicted = truth.map(p => Ann.predictedRecall(b, r, p._3)).sum / truth.length
+      info(f"cos>=$thr tier: ${truth.length} true pairs, geometry ${b}x$r, " +
+        f"measured recall $measured%.3f vs predicted $predicted%.3f")
+      assert(math.abs(measured - predicted) <= 0.15,
+        f"measured $measured%.3f vs predicted $predicted%.3f out of tolerance")
+      assert(measured >= 0.8 - 0.15, "tuned geometry must approach the recall target")
+    } finally graft.Session.freeLocalCheckpoint(planted)
+  }
+
   test("banded LSH emits each candidate pair exactly once (first-band dedup)") {
     val all = Ann.lshPairsBanded(vecs, -1.0) // no threshold: every candidate
       .select("id_a", "id_b").as[(Long, Long)].collect()
