@@ -125,18 +125,30 @@ object Main {
           println(s"""{"job":"compact","rewritten":$rewritten,"files":$files,""" +
             s""""manifests_expired":$mDel,"files_gcd":$fDel}""")
         case "dedup" =>
-          // the full near-dup pipeline from spark-submit: signatures upserted
-          // into the persistent band index (incremental — a second sfDir
-          // batch would only compute ITS signatures), pairs → star-contraction
-          // clusters → keep-best survivors, committed as a snapshot; a re-run
-          // converges (idempotent pairs, idempotent merge)
+          // the full near-dup pipeline from spark-submit, MULTI-BATCH
+          // correct: signatures upsert into the persistent band index
+          // (incremental — a second sfDir batch only computes ITS
+          // signatures), the batch's pairs and per-doc quality scores
+          // accumulate into persistent tables, and keep-best is rebuilt from
+          // the FULL corpus-so-far — a cluster whose higher-quality member
+          // arrived in an earlier batch keeps that member, and earlier
+          // batches' singleton survivors are never dropped by a later run.
+          // A re-run converges (idempotent pairs, idempotent merges).
           val docs = spark.read.parquet(s"$sfDir/documents.parquet")
           val pairs = graft.text.TextOps.incrementalDedup(
             spark, docs, s"$outRoot/dedup_sigs")
           try {
-            val keep = graft.text.TextOps.keepBest(docs, pairs)
+            Icelite.merge(spark, pairs, s"$outRoot/dedup_pairs",
+              Seq("doc_a", "doc_b"), s"dedup-pairs:$sfDir")
+            Icelite.merge(spark,
+              graft.text.TextOps.qualityScore(docs)
+                .select(col("doc_id"), col("quality_score")),
+              s"$outRoot/dedup_quality", Seq("doc_id"), s"dedup-quality:$sfDir")
+            val allPairs = Icelite.read(spark, s"$outRoot/dedup_pairs")
+            val scored = Icelite.read(spark, s"$outRoot/dedup_quality")
+            val keep = graft.text.TextOps.keepBestScored(scored, allPairs)
             val snap = Icelite.commit(spark, keep, s"$outRoot/dedup_keep", s"dedup:$sfDir")
-            val nDocs = docs.count()
+            val nDocs = scored.count() // corpus-so-far, not just this batch
             println(s"""{"job":"dedup","docs":$nDocs,"clusters":${snap.rowCount},""" +
               s""""dropped":${nDocs - snap.rowCount}}""")
           } finally graft.Session.freeLocalCheckpoint(pairs)

@@ -78,6 +78,13 @@ object ConnectedComponents {
     */
   val SmallCutoff = 100000L
 
+  /** Terminal star forests at or under this many edges are collected to the
+    * driver so the last round's localCheckpoint can be freed before
+    * returning (≤ ~32 MB of (Long, Long) tuples). One label per non-root
+    * PAIRED node — orders of magnitude below the corpus.
+    */
+  val TerminalCollectCutoff = 2000000L
+
   /** (node, component) for every node that appears in `pairs` (two columns:
     * endpoints of an undirected edge; self-loops ignored). `component` is the
     * minimum node id reachable from the node. Nodes NOT in any pair don't
@@ -150,9 +157,28 @@ object ConnectedComponents {
       edges = next
     }
     require(converged, s"connected components did not converge in $MaxRounds rounds")
-    // terminal star forest: every edge is (leaf > root); roots label themselves
-    edges.select(col("u").as("node"), col("v").as("component"))
-      .unionByName(edges.select(col("v").as("node"), col("v").as("component")))
-      .distinct()
+    // Terminal star forest: every edge is (leaf > root); roots label
+    // themselves. When it is collectable (≤ TerminalCollectCutoff edges —
+    // the digest carried the count, no extra action), materialize the labels
+    // into a driver-local non-checkpointed Dataset and FREE the terminal
+    // checkpoint: a scheduler loop calling components() repeatedly then
+    // pins nothing between invocations. Past the cutoff (or non-Long node
+    // ids) the returned plan must keep reading the checkpoint — that one
+    // block set stays pinned until the caller drops the frame, which is the
+    // honest trade at a scale where 2M+ labels don't belong on a driver.
+    val isLong = edges.schema.fields.forall(_.dataType ==
+      org.apache.spark.sql.types.LongType)
+    if (isLong && prevDigest._1 <= TerminalCollectCutoff) {
+      val spark = pairs.sparkSession
+      import spark.implicits._
+      val es = edges.as[(Long, Long)].collect()
+      Session.freeLocalCheckpoint(edges)
+      val out = (es.iterator.map { case (u, v) => (u, v) } ++
+        es.iterator.map { case (_, v) => (v, v) }).toArray.distinct.toSeq
+      spark.createDataset(out).toDF("node", "component")
+    } else
+      edges.select(col("u").as("node"), col("v").as("component"))
+        .unionByName(edges.select(col("v").as("node"), col("v").as("component")))
+        .distinct()
   }
 }

@@ -33,11 +33,16 @@ import graft.cells.Cells
 object KnnJoin {
 
   /** Cells with Chebyshev distance in (lo, hi] of the given cell — the slab
-    * explored in one round under geometric radius escalation. Distinct as a
-    * belt-and-braces guard (the radius cap in [[knn]] already prevents
-    * wrapped-cell collisions). */
-  private val ringRangeUdf = udf((cell: Long, lo: Int, hi: Int) =>
-    ((lo + 1) to hi).flatMap(Cells.ringK(cell, _)).distinct.toArray)
+    * explored in one round under geometric radius escalation (distinct as a
+    * belt-and-braces guard; the radius cap in [[knn]] already prevents
+    * wrapped-cell collisions). A codegen kernel expression
+    * ([[org.apache.spark.sql.graft.CellExpressions.ring_range]]), not a
+    * Scala UDF — this was the last UDF on a per-row loop path (evaluated for
+    * every remaining query every round). */
+  private def ringRangeCol(cell: org.apache.spark.sql.Column,
+                           lo: org.apache.spark.sql.Column,
+                           hi: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    org.apache.spark.sql.graft.CellExpressions.ring_range(cell, lo, hi)
 
   /** Density-driven cell-level selection. The ring search is level-sensitive
     * in BOTH directions:
@@ -226,7 +231,7 @@ object KnnJoin {
     // REMAINING straggler set is small.
     while (!done && rounds < maxRounds) {
       val probes = remaining.withColumn("__cell",
-        explode(ringRangeUdf(col("__qcell"), lit(prevR), lit(r))))
+        explode(ringRangeCol(col("__qcell"), lit(prevR), lit(r))))
       val fresh = probes.join(pts, col("__cell") === col("__pcell"))
         .filter(notSelf(col("query_id") =!= col("neighbor_id")))
         .select(col("query_id"), col("q_lonm"), col("q_latm"), col("__qcell"),

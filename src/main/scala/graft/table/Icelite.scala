@@ -242,9 +242,16 @@ object Icelite {
     // map-side-combinable — the stats cost nothing beyond the scan the
     // lineage already pays)
     val statCols = statsEligible(written.schema)
-    val statAggs = statCols.flatMap { case (c, _) =>
-      Seq(min(qcol(c)).cast("string").as(s"__mn_$c"),
-          max(qcol(c)).cast("string").as(s"__mx_$c"))
+    val statAggs = statCols.flatMap { case (c, kind) =>
+      // Float columns collect their bounds THROUGH double: the stored string
+      // is then the shortest repr of the exact binary value, so the
+      // BigDecimal compare in [[pruneFiles]] is order-isomorphic with the
+      // scan filter's float→double upcast. Storing the float's own shortest
+      // repr would let a double query bound land in the sub-ulp gap between
+      // the repr and the exact value and prune a file the filter keeps.
+      val base = if (kind == StatFloat) qcol(c).cast("double") else qcol(c)
+      Seq(min(base).cast("string").as(s"__mn_$c"),
+          max(base).cast("string").as(s"__mx_$c"))
     }
     written
       .withColumn("__file", input_file_name())
@@ -258,31 +265,36 @@ object Icelite {
         val path = new java.net.URI(r.getString(0)).getPath
         val (mod, res) = sliceRe.findFirstMatchIn(path)
           .map(m => (m.group(1).toInt, m.group(2).toInt)).getOrElse((0, 0))
-        val stats = statCols.zipWithIndex.flatMap { case ((c, isString), i) =>
+        val stats = statCols.zipWithIndex.flatMap { case ((c, kind), i) =>
           val (mn, mx) = (r.getString(3 + 2 * i), r.getString(3 + 2 * i + 1))
           if (mn == null || mx == null) None // all-null column: no bounds
           // truncation is a STRING-ordering transform — numeric string forms
           // are kept whole (a truncated "1.23E15" would corrupt the numeric
           // compare at prune time; numeric casts are bounded-length anyway)
-          else if (isString) truncateBounds(mn, mx).map(c -> _)
+          else if (kind == StatString) truncateBounds(mn, mx).map(c -> _)
           else Some(c -> (mn, mx))
         }.toMap
         FileEntry(path, mod, res, r.getLong(1), r.getLong(2), stats)
       }.toSeq.sortBy(_.path)
   }
 
+  private val StatString = 0
+  private val StatNumeric = 1
+  private val StatFloat = 2 // single-precision: bounds collected via double
+
   /** Top-level columns eligible for zone maps: numeric or string, first
     * [[MaxStatsCols]] in schema order. (Timestamps/dates are excluded: their
     * string casts aren't order-faithful across precisions — callers range on
     * epoch columns, which are numeric.) */
   private def statsEligible(
-      schema: org.apache.spark.sql.types.StructType): Seq[(String, Boolean)] = {
+      schema: org.apache.spark.sql.types.StructType): Seq[(String, Int)] = {
     import org.apache.spark.sql.types._
     schema.fields.iterator
       .filter(f => f.name != "__slice")
       .collect {
-        case f if f.dataType == StringType => (f.name, true)
-        case f if f.dataType.isInstanceOf[NumericType] => (f.name, false)
+        case f if f.dataType == StringType => (f.name, StatString)
+        case f if f.dataType == FloatType => (f.name, StatFloat)
+        case f if f.dataType.isInstanceOf[NumericType] => (f.name, StatNumeric)
       }
       .take(MaxStatsCols).toSeq
   }

@@ -76,6 +76,19 @@ object GraftKernels {
         })
     }
 
+    /** Cells at Chebyshev grid distance in (lo, hi] of `cell` — the ring
+      * slab one kNN escalation round explores ([[Cells.ringK]] per ring,
+      * de-duplicated across the slab for the wrapped-longitude edge). A
+      * kernel, not a Scala UDF: the slab expands per REMAINING query per
+      * round, and the UDF form paid encoder serialization on that loop path.
+      */
+    def ringRange(cell: Long, lo: Int, hi: Int): ArrayData = {
+      val out = scala.collection.mutable.ArrayBuffer.empty[Long]
+      var k = lo + 1
+      while (k <= hi) { out ++= Cells.ringK(cell, k); k += 1 }
+      new org.apache.spark.sql.catalyst.util.GenericArrayData(out.distinct.toArray)
+    }
+
     /** Per-record reprojection roundtrip residual: forward to the row's
       * region CRS (polar stereo 3413/3031 or UTM), inverse back, return the
       * |Δlon|+|Δlat| residual — the per-record geometry-transform work the
@@ -350,6 +363,28 @@ object CellExpressions {
       ExpressionUtils.expression(cands),
       ExpressionUtils.expression(px.cast("double")),
       ExpressionUtils.expression(py.cast("double"))))
+
+  /** Ring slab (Chebyshev cell distance in (lo, hi]) as array<long> — the
+    * per-round explode source of [[graft.ops.KnnJoin.knn]]. */
+  case class RingRange(first: Expression, second: Expression, third: Expression)
+      extends TernaryExpression {
+    override def dataType: DataType =
+      org.apache.spark.sql.types.ArrayType(LongType, containsNull = false)
+    override def nullable: Boolean = first.nullable || second.nullable || third.nullable
+    override protected def nullSafeEval(cell: Any, lo: Any, hi: Any): Any =
+      Kernels.ringRange(cell.asInstanceOf[Long], lo.asInstanceOf[Int], hi.asInstanceOf[Int])
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, (cell, lo, hi) =>
+        s"${ev.value} = $K.ringRange($cell, $lo, $hi);")
+    override protected def withNewChildrenInternal(f: Expression, s: Expression, t: Expression): RingRange =
+      copy(first = f, second = s, third = t)
+  }
+
+  def ring_range(cell: Column, lo: Column, hi: Column): Column =
+    ExpressionUtils.column(RingRange(
+      ExpressionUtils.expression(cell.cast("long")),
+      ExpressionUtils.expression(lo.cast("int")),
+      ExpressionUtils.expression(hi.cast("int"))))
 
   /** Column API: cell id at a quadkey level — codegen-fused, no UDF. */
   def cell_at(lon: Column, lat: Column, level: Int): Column =

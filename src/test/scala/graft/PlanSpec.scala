@@ -80,6 +80,24 @@ class PlanSpec extends SparkSpec {
     assert(!plan.contains("UDF("))
   }
 
+  test("knn ring-slab explode contains no Scala UDF (per-round loop path)") {
+    import org.apache.spark.sql.graft.CellExpressions
+    val pts = Pages.fromDocuments(spark, Sf)
+      .select(col("doc_id"), CellExpressions.cell_at(col("lon"), col("lat"), 6).as("__qcell"))
+    val probes = pts.withColumn("__cell",
+      explode(CellExpressions.ring_range(col("__qcell"), lit(0), lit(4))))
+    val plan = planOf(probes)
+    assert(!plan.contains("UDF("), s"ring slab must be the kernel expression:\n${plan.take(1500)}")
+    // and the kernel agrees with the per-ring library function it fuses
+    val sample = probes.limit(500).collect()
+    val byCell = sample.groupBy(_.getLong(1)).view.mapValues(_.map(_.getLong(2)).toSet)
+    byCell.foreach { case (cell, cells) =>
+      val expected = (1 to 4).flatMap(graft.cells.Cells.ringK(cell, _)).toSet
+      // limit() may cut a cell's slab mid-way; assert containment
+      assert(cells.subsetOf(expected), s"slab of $cell must match ringK union")
+    }
+  }
+
   test("fingerprint / minhash / simhash are shuffle-free narrow maps") {
     for (q <- Seq("q_fingerprint", "q_minhash_bands", "q_simhash")) {
       val plan = planOf(SparkEntry.queries(q)(spark, Sf))
