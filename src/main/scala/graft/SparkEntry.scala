@@ -1077,6 +1077,61 @@ object SparkEntry {
         java.nio.file.Files.getLastModifiedTime(src).toMillis
       val fp = s"pages:$dir:${md5(oracleSql("q_density_cache"))}:${md5(dataStamp)}"
       graft.ops.Tiling.densityCached(s, pages, root, fp)
+    }),
+
+    // --- model/ schema families: the scene ladder conformed onto the
+    // reference's DECLARED 35-col scene layer (graft.model.Schemas.scene ←
+    // lib/utils.py:333-380) — declared names, declared order, absent
+    // attributes as typed NULLs. Timestamps emitted as epoch BIGINTs for
+    // oracle parity; SchemasSpec asserts the un-projected conform schema
+    // (types + width/precision metadata) field-for-field.
+    "q_index_schema" -> ((s, dir) => {
+      val conformed = graft.model.Schemas.conform(
+        Ladder.scenes(s, dir), graft.model.Schemas.scene)
+      conformed.select(conformed.schema.fields.map { f =>
+        f.dataType match {
+          case org.apache.spark.sql.types.TimestampType =>
+            col(f.name).cast("long").as(f.name.toLowerCase)
+          case _ => col(f.name).as(f.name.toLowerCase)
+        }
+      }.toSeq: _*)
+    }),
+
+    // --- generalized n×m subtile subdivision (attic/divide_setsm_tiles.py
+    // :305-328): same supertile step, 3×5 equal boxes instead of the 2×2
+    // quartering — exercises the non-square grid the reference's
+    // num_rows/num_cols args allow.
+    "q_subtile_grid" -> ((s, dir) =>
+      Tiling.subtileStats(Pages.fromDocuments(s, dir), step = 10, nRows = 3, nCols = 5)
+        .withColumn("sum_chars", col("sum_chars").cast("long"))),
+
+    // --- ASP record flow (lib/dem.py:1635-1680 AspDem): render an ASP dem
+    // filename from order arithmetic, parse it with the REAL asp_strip
+    // pattern (the regex IS the spec, lib/dem.py:99-104), and project the
+    // parse into the overlap-family fields (OVERLAP = stripid = fn[:-8],
+    // ALGM_VER = 'ASP', acqdate = strptime(timestamp)). Differential: the
+    // oracle recomputes every field directly — a parser mangle diverges the
+    // hash. Pure regexp_extract column expressions, codegen, no UDF.
+    "q_asp_index" -> ((s, dir) => {
+      val o = s.read.parquet(s"$dir/orders.parquet")
+      val k = col("o_orderkey")
+      val fn = concat(
+        lit("WV0"), (lit(1) + k % 3).cast("string"), lit("_"),
+        lit("202401"), lpad((lit(1) + k % 28).cast("string"), 2, "0"), lit("_"),
+        lpad((k % 100000).cast("string"), 16, "0"), lit("_"),
+        lpad(((k * 7) % 100000).cast("string"), 16, "0"), lit("_"),
+        (lit(1) + k % 8).cast("string"), lit("m-dem.tif"))
+      val pat = graft.parse.MetaParsers.Patterns.asp.pattern.pattern()
+      o.select(k.as("okey"),
+        regexp_extract(fn, pat, 1).as("pairname"),
+        regexp_extract(fn, pat, 2).as("sensor"),
+        to_date(regexp_extract(fn, pat, 3), "yyyyMMdd").cast("string").as("acqdate"),
+        regexp_extract(fn, pat, 4).as("catalogid1"),
+        regexp_extract(fn, pat, 5).as("catalogid2"),
+        regexp_replace(regexp_extract(fn, pat, 6), "m$", "").cast("double").as("dem_res"),
+        lit("ASP").as("algm_ver"),
+        regexp_replace(fn, "-dem\\.tif$", "").as("overlap"),
+        lit(0).as("status"))
     })
   )
 
@@ -2071,6 +2126,74 @@ object SparkEntry {
          |  CAST(count(*) AS BIGINT) AS n,
          |  count(*) / 1.0 AS density,
          |  CAST(sum(CASE WHEN n_chars >= 40 THEN 1 ELSE 0 END) AS DOUBLE) / count(*) AS masked_density
-         |FROM pages GROUP BY 1""".stripMargin, Pages.docPagesCte)
+         |FROM pages GROUP BY 1""".stripMargin, Pages.docPagesCte),
+
+    "q_index_schema" -> withCtes(
+      """SELECT scenedemid, stripdemid,
+        |  CAST(NULL AS VARCHAR) AS status,
+        |  CAST(NULL AS VARCHAR) AS pairname,
+        |  CAST(NULL AS VARCHAR) AS sensor1,
+        |  CAST(NULL AS VARCHAR) AS sensor2,
+        |  CAST(NULL AS BIGINT) AS acqdate1,
+        |  CAST(NULL AS BIGINT) AS acqdate2,
+        |  CAST(NULL AS VARCHAR) AS catalogid1,
+        |  CAST(NULL AS VARCHAR) AS catalogid2,
+        |  CAST(NULL AS VARCHAR) AS scene1,
+        |  CAST(NULL AS VARCHAR) AS scene2,
+        |  CAST(epoch(gen_time1) AS BIGINT) AS gen_time1,
+        |  CAST(epoch(gen_time2) AS BIGINT) AS gen_time2,
+        |  CAST(NULL AS DOUBLE) AS cent_lat,
+        |  CAST(NULL AS DOUBLE) AS cent_lon,
+        |  CAST(NULL AS VARCHAR) AS region,
+        |  CAST(NULL AS INTEGER) AS epsg,
+        |  CAST(NULL AS VARCHAR) AS proj4,
+        |  CAST(NULL AS DOUBLE) AS nd_value,
+        |  CAST(NULL AS DOUBLE) AS dem_res,
+        |  CAST(NULL AS BIGINT) AS cr_date,
+        |  CAST(NULL AS VARCHAR) AS algm_ver,
+        |  CAST(NULL AS INTEGER) AS prod_ver,
+        |  CAST(NULL AS BOOLEAN) AS has_lsf,
+        |  CAST(NULL AS BOOLEAN) AS has_nonlsf,
+        |  CAST(NULL AS BOOLEAN) AS is_xtrack,
+        |  is_dsp, location,
+        |  CAST(NULL AS DOUBLE) AS filesz_dem,
+        |  CAST(NULL AS DOUBLE) AS filesz_lsf,
+        |  CAST(NULL AS DOUBLE) AS filesz_mt,
+        |  CAST(NULL AS DOUBLE) AS filesz_or,
+        |  CAST(NULL AS DOUBLE) AS filesz_or2,
+        |  CAST(epoch(CAST(index_date AS TIMESTAMP)) AS BIGINT) AS index_date
+        |FROM scenes""".stripMargin, Ladder.scenesCte),
+
+    "q_subtile_grid" -> withCtes(
+      """SELECT CAST(CAST(floor(lat / 10) AS INT) AS VARCHAR) || '_' ||
+        |       CAST(CAST(floor(lon / 10) AS INT) AS VARCHAR) AS supertile,
+        |       CAST(CAST(floor((lat / 10 - floor(lat / 10)) * 3) + 1 AS INT) AS VARCHAR) || '_' ||
+        |       CAST(CAST(floor((lon / 10 - floor(lon / 10)) * 5) + 1 AS INT) AS VARCHAR) AS subtile,
+        |       CAST(count(*) AS BIGINT) AS n_rows,
+        |       CAST(count(DISTINCT lang) AS BIGINT) AS n_langs,
+        |       CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+        |       count(*) / (10.0 * 10 / 15) AS density
+        |FROM pages GROUP BY 1, 2""".stripMargin, Pages.docPagesCte),
+
+    "q_asp_index" ->
+      """SELECT o_orderkey AS okey,
+        |  'WV0' || CAST(1 + o_orderkey % 3 AS VARCHAR) || '_202401' ||
+        |    lpad(CAST(1 + o_orderkey % 28 AS VARCHAR), 2, '0') || '_' ||
+        |    lpad(CAST(o_orderkey % 100000 AS VARCHAR), 16, '0') || '_' ||
+        |    lpad(CAST((o_orderkey * 7) % 100000 AS VARCHAR), 16, '0') AS pairname,
+        |  'WV0' || CAST(1 + o_orderkey % 3 AS VARCHAR) AS sensor,
+        |  CAST(CAST(strptime('202401' || lpad(CAST(1 + o_orderkey % 28 AS VARCHAR), 2, '0'),
+        |    '%Y%m%d') AS DATE) AS VARCHAR) AS acqdate,
+        |  lpad(CAST(o_orderkey % 100000 AS VARCHAR), 16, '0') AS catalogid1,
+        |  lpad(CAST((o_orderkey * 7) % 100000 AS VARCHAR), 16, '0') AS catalogid2,
+        |  CAST(1 + o_orderkey % 8 AS DOUBLE) AS dem_res,
+        |  'ASP' AS algm_ver,
+        |  'WV0' || CAST(1 + o_orderkey % 3 AS VARCHAR) || '_202401' ||
+        |    lpad(CAST(1 + o_orderkey % 28 AS VARCHAR), 2, '0') || '_' ||
+        |    lpad(CAST(o_orderkey % 100000 AS VARCHAR), 16, '0') || '_' ||
+        |    lpad(CAST((o_orderkey * 7) % 100000 AS VARCHAR), 16, '0') || '_' ||
+        |    CAST(1 + o_orderkey % 8 AS VARCHAR) || 'm' AS overlap,
+        |  CAST(0 AS INTEGER) AS status
+        |FROM orders""".stripMargin
   )
 }

@@ -122,6 +122,22 @@ object IndexJob {
       .filter(ok)
   }
 
+  /** P6 driven from a DECLARED schema family (graft.model.Schemas): the
+    * width map comes straight off the reference's StandardAttribute
+    * declarations instead of a hand-maintained literal, restricted to the
+    * columns the frame actually carries (the reference checks only fields
+    * present on the record, index_setsm.py:1099-1103). Case-insensitive
+    * name match, same as [[graft.model.Schemas.conform]].
+    */
+  def validateWidths(df: DataFrame, family: Seq[graft.model.Schemas.FieldDef]): DataFrame = {
+    val widths = graft.model.Schemas.widthMap(family)
+      .flatMap { case (n, w) =>
+        df.columns.find(_.equalsIgnoreCase(n)).map(_ -> w) }
+    require(widths.nonEmpty,
+      s"no declared string-width column of the family is present in [${df.columns.mkString(",")}]")
+    validateWidths(df, widths)
+  }
+
   /** O3 — capped error side-output (index_setsm.py:1150-1156: only the first
     * 30 duplicate/invalid errors are logged). `limit` after the filter plans
     * a per-partition LocalLimit, so at scale this never materializes the full

@@ -34,28 +34,47 @@ object Tiling {
     concat(floor(lat / step).cast("int").cast("string"), lit("_"),
       floor(lon / step).cast("int").cast("string"))
 
-  /** Degree-grid quartertile `{i}_{j}` (1-based, row-major within the tile),
-    * equal-box subdivision per attic/divide_setsm_tiles.py:231-241. */
-  def degQuartertile(lon: Column, lat: Column, step: Int): Column = {
-    val fi = (lat / step - floor(lat / step)) * 2
-    val fj = (lon / step - floor(lon / step)) * 2
+  /** Generalized n×m subtile `{i}_{j}` (1-based, row-major within the tile):
+    * the supertile extent divided into `nRows × nCols` EQUAL boxes, named by
+    * their 1-based row/col ordinal — the naming/geometry of
+    * attic/divide_setsm_tiles.py:239-240 (tilesize = extent/num) and
+    * :308-312 (`'{}_{}'.format(tilenumy, tilenumx)`, origin-relative
+    * ceil-index). `lat/step - floor(lat/step)` is a proper [0,1) fraction
+    * for negative coordinates too, so southern/western tiles index the same
+    * way as the reference's origin-offset division. */
+  def degSubtile(lon: Column, lat: Column, step: Int, nRows: Int, nCols: Int): Column = {
+    val fi = (lat / step - floor(lat / step)) * nRows
+    val fj = (lon / step - floor(lon / step)) * nCols
     concat((floor(fi) + 1).cast("int").cast("string"), lit("_"),
       (floor(fj) + 1).cast("int").cast("string"))
   }
 
-  /** Per-tile coverage stats over geocoded pages: row count, distinct langs,
-    * char sum, density = rows per square degree of the tile.
-    */
-  def coverageStats(pages: DataFrame, step: Int = 10): DataFrame = {
+  /** Degree-grid quartertile: the reference's default 2×2 subdivision
+    * (attic/divide_setsm_tiles.py:231-241). */
+  def degQuartertile(lon: Column, lat: Column, step: Int): Column =
+    degSubtile(lon, lat, step, 2, 2)
+
+  /** Per-subtile coverage stats over geocoded pages at an arbitrary
+    * `nRows × nCols` grid: row count, distinct langs, char sum, density =
+    * rows per square degree of the SUBTILE box. One hash aggregate with
+    * map-side partial combine; the grid column is a narrow map. */
+  def subtileStats(pages: DataFrame, step: Int, nRows: Int, nCols: Int): DataFrame = {
     val tiled = pages
       .withColumn("supertile", degSupertile(col("lon"), col("lat"), step))
-      .withColumn("quartertile", degQuartertile(col("lon"), col("lat"), step))
-    tiled.groupBy("supertile", "quartertile").agg(
+      .withColumn("subtile", degSubtile(col("lon"), col("lat"), step, nRows, nCols))
+    tiled.groupBy("supertile", "subtile").agg(
       count(lit(1)).as("n_rows"),
       countDistinct(col("lang")).as("n_langs"),
       sum(col("n_chars")).as("sum_chars"),
-      (count(lit(1)) / lit(step.toDouble * step / 4)).as("density"))
+      (count(lit(1)) / lit(step.toDouble * step / (nRows * nCols))).as("density"))
   }
+
+  /** Per-tile coverage stats over geocoded pages: row count, distinct langs,
+    * char sum, density = rows per square degree of the tile. The reference's
+    * default 2×2 quartering, column name kept for its consumers.
+    */
+  def coverageStats(pages: DataFrame, step: Int = 10): DataFrame =
+    subtileStats(pages, step, 2, 2).withColumnRenamed("subtile", "quartertile")
 
   /** S10 — density cache (/root/reference/lib/dem.py:1231-1250 reads
     * density.txt when present instead of recomputing the raster aggregation;

@@ -120,6 +120,33 @@ class ParsersSpec extends AnyFunSuite {
     assert(tm.group("subtile") === "2_2")
   }
 
+  test("asp_strip_pattern group-for-group (lib/dem.py:99-104, AspDem :1652-1663)") {
+    // with resolution suffix (optional `_?` + `res` groups both present)
+    val withRes = "WV01_20140402_102001002C6AFA00_102001002D8B3100_8m-dem.tif"
+    val m = MetaParsers.Patterns.asp.findFirstMatchIn(withRes)
+    assert(m.isDefined)
+    assert(m.get.group("pairname") === "WV01_20140402_102001002C6AFA00_102001002D8B3100")
+    assert(m.get.group("sensor") === "WV01")
+    assert(m.get.group("timestamp") === "20140402")
+    assert(m.get.group("catid1") === "102001002C6AFA00")
+    assert(m.get.group("catid2") === "102001002D8B3100")
+    assert(m.get.group("res") === "8m")
+
+    // without resolution (AspDem's plain `<pairname>-dem.tif` form)
+    val noRes = "GE01_20200101_0000000000000001_000000000000000A-dem.jpg"
+    val n = MetaParsers.Patterns.asp.findFirstMatchIn(noRes)
+    assert(n.isDefined)
+    assert(n.get.group("sensor") === "GE01")
+    assert(n.get.group("res") === null)
+
+    // rejects: 15-char catid, non-dem suffix, setsm strip name
+    for (bad <- Seq(
+      "WV01_20140402_102001002C6AFA0_102001002D8B3100_8m-dem.tif",
+      "WV01_20140402_102001002C6AFA00_102001002D8B3100_8m-ortho.tif",
+      "SETSM_s2s041_WV01_20140402_102001002C6AFA00_102001002D8B3100_2m_lsf_seg1_dem.tif"))
+      assert(MetaParsers.Patterns.asp.findFirstMatchIn(bad).isEmpty, bad)
+  }
+
   test("xtrack sensor detection (lib/dem.py:123,268)") {
     assert(MetaParsers.Patterns.isXtrack("W1W2"))
     assert(MetaParsers.Patterns.isXtrack("g1q2"))
