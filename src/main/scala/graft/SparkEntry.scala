@@ -304,6 +304,23 @@ object SparkEntry {
         .select(col("doc_id"), col("tile_name"))
     }),
 
+    // --- the J2 LEFT theta join via the PipJoinRewrite OUTER rewrite: the
+    // rule (injected through experimental.extraOptimizations, same rule a
+    // `--conf spark.sql.extensions` deployment gets) turns the
+    // `points LEFT JOIN tiles ON graft_st_contains(...)` nested-loop shape
+    // into the broadcast cell equi-join with the whole refine in the join
+    // condition, so unmatched points null-extend exactly once — the SQL
+    // surface of the shelve plan (RewriteSpec proves plan + equivalence).
+    "q_pip_left" -> ((s, dir) => {
+      s.experimental.extraOptimizations = Seq(org.apache.spark.sql.graft.PipJoinRewrite)
+      val pts = Pages.fromDocuments(s, dir)
+      val tiles = Pages.tiles(s).withColumn("ring",
+        PipJoin.rectRing(col("x0"), col("y0"), col("x1"), col("y1")))
+      pts.join(tiles,
+          PipJoin.pipContains(col("ring"), col("lon"), col("lat")), "left")
+        .select(col("doc_id"), col("tile_name"))
+    }),
+
     // --- graft kNN join: expanding-ring exact k nearest neighbors.
     // Level is density-auto-picked (KnnJoin.pickLevel): the result is exact
     // at any level, but the cost is not — a hardcoded level dies under skew
@@ -1172,6 +1189,12 @@ object SparkEntry {
         |  FROM pages p JOIN tiles t
         |    ON p.lon >= t.x0 AND p.lon <= t.x1 AND p.lat >= t.y0 AND p.lat <= t.y1
         |) WHERE nt = 1""".stripMargin, Pages.docPagesCte, Pages.tilesCte),
+
+    "q_pip_left" -> withCtes(
+      """SELECT p.doc_id, t.tile_name
+        |FROM pages p LEFT JOIN tiles t
+        |  ON p.lon >= t.x0 AND p.lon <= t.x1 AND p.lat >= t.y0 AND p.lat <= t.y1""".stripMargin,
+      Pages.docPagesCte, Pages.tilesCte),
 
     "q_knn" -> withCtes(
       """SELECT query_id, neighbor_id, dist2, rn FROM (

@@ -41,11 +41,52 @@ object PipJoin {
     udf((ring: Seq[Double], level: Int) =>
       Cells.coverRing(ring.toArray, level).map { case (c, in) => (c, in) })
 
+  /** Sentinel `level` value: derive the cover level from the polygon side's
+    * extent stats via [[pickCoverLevel]]. */
+  val AutoLevel: Int = -1
+
+  /** Choose a cover level from the POLYGON side's extent statistics — the
+    * [[graft.ops.KnnJoin.pickLevel]] pattern applied to the J2 shape. A fixed
+    * level is wrong at both ends: too coarse and every polygon collapses into
+    * a handful of cells (fat candidate arrays, the exact ray-cast runs for
+    * most points); too fine and each polygon explodes into thousands of
+    * cover cells (the broadcast map and the cover compute grow with
+    * perimeter/cellWidth). The estimate `(w/cellW + 2)·(h/cellH + 2)` is the
+    * axis-aligned cover-cell count of the MEDIAN polygon bbox; the finest
+    * level keeping it ≤ `targetCellsPerPoly` bounds the per-polygon explode
+    * while maximizing cell selectivity (interior fast-path fraction grows
+    * with level). One narrow aggregation over the polygon side (the
+    * dim-table side — at 100 TB this is thousands of rows, not the corpus),
+    * driver-side closed-form pick, no sampling needed.
+    */
+  def pickCoverLevel(polys: DataFrame, ring: String,
+                     targetCellsPerPoly: Double = 24.0,
+                     levelCap: Int = 14): Int = {
+    val xs = filter(col(ring), (_: Column, i: Column) => i % lit(2) === lit(0))
+    val ys = filter(col(ring), (_: Column, i: Column) => i % lit(2) === lit(1))
+    val r = polys
+      .where(size(col(ring)) >= 6) // degenerate rings carry no extent signal
+      .agg(
+        percentile_approx((array_max(xs) - array_min(xs)).cast("double"),
+          lit(0.5), lit(10000)).as("w"),
+        percentile_approx((array_max(ys) - array_min(ys)).cast("double"),
+          lit(0.5), lit(10000)).as("h"))
+      .head()
+    if (r.isNullAt(0) || r.isNullAt(1)) return 6 // no polygons: default
+    val (mw, mh) = (r.getDouble(0), r.getDouble(1))
+    // cover count grows monotonically with level — finest level within target
+    (0 to levelCap).reverse.find { l =>
+      val cw = 360.0 / (1L << l)
+      val ch = 180.0 / (1L << l)
+      (mw / cw + 2.0) * (mh / ch + 2.0) <= targetCellsPerPoly
+    }.getOrElse(0)
+  }
 
   /** Join points (pointId, lon, lat) to polygons (polyId, ring) where the
     * point lies in the polygon. Returns all (pointId, polyId) matches.
     *
     * @param level cover level; cells ≈ 360/2^level degrees wide.
+    *   [[AutoLevel]] derives it from polygon extent stats ([[pickCoverLevel]]).
     * @param broadcastPolys force/deny broadcast; None lets Catalyst decide.
     */
   def join(points: DataFrame, polys: DataFrame,
@@ -53,9 +94,10 @@ object PipJoin {
            polyId: String, ring: String,
            level: Int = 6,
            broadcastPolys: Option[Boolean] = Some(true)): DataFrame = {
+    val lvl = if (level == AutoLevel) pickCoverLevel(polys, ring) else level
     val covered = polys
       .select(col(polyId), col(ring).as("__ring"))
-      .withColumn("__cov", explode(coverUdf(col("__ring"), lit(level))))
+      .withColumn("__cov", explode(coverUdf(col("__ring"), lit(lvl))))
       .select(col(polyId), col("__ring"),
         col("__cov._1").as("__cell"), col("__cov._2").as("__interior"))
     val polySide = broadcastPolys match {
@@ -63,7 +105,7 @@ object PipJoin {
       case _          => covered
     }
     val pts = points.withColumn("__cell",
-      CellExpressions.cell_at(col(lon), col(lat), level))
+      CellExpressions.cell_at(col(lon), col(lat), lvl))
     pts.join(polySide, "__cell")
       .filter(col("__interior") || pipContains(col("__ring"), col(lon), col(lat)))
       .drop("__cell", "__interior", "__ring")
@@ -97,9 +139,10 @@ object PipJoin {
              polyId: String, ring: String,
              level: Int = 8, broadcastCells: Boolean = true,
              observer: Option[Observation] = None): DataFrame = {
+    val lvl = if (level == AutoLevel) pickCoverLevel(polys, ring) else level
     val covered = polys
       .select(col(polyId), col(ring).as("__ring"))
-      .withColumn("__cov", explode(coverUdf(col("__ring"), lit(level))))
+      .withColumn("__cov", explode(coverUdf(col("__ring"), lit(lvl))))
       .select(col(polyId), col("__ring"),
         col("__cov._1").as("__cell"), col("__cov._2").as("__interior"))
     val byCell = covered.groupBy("__cell")
@@ -115,7 +158,7 @@ object PipJoin {
       when(isFast, col("__cands").getItem(0).getField("pid")).as("__fastpid"),
       when(!isFast, col("__cands")).as("__slowcands"))
     val pts = points.withColumn("__cell",
-      CellExpressions.cell_at(col(lon), col(lat), level))
+      CellExpressions.cell_at(col(lon), col(lat), lvl))
     val cellSide = if (broadcastCells) broadcast(byCell2)
                    else byCell2.hint("shuffle_hash")
     // LEFT join: points whose cell holds no candidate tile at all must still

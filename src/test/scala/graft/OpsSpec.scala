@@ -66,6 +66,36 @@ class OpsSpec extends SparkSpec {
     assert(multi > 0, "fixture must exercise the >1-match skip branch")
   }
 
+  test("pickCoverLevel tracks polygon extent: fine for slivers, coarse for continents") {
+    // tiny parcels (~0.01°): the finest capped level — cells stay selective
+    val tiny = (0 until 50).map { i =>
+      val x = i * 3.0 - 75.0; val y = i * 1.5 - 37.0
+      (s"t$i", Seq(x, y, x + 0.01, y, x + 0.01, y + 0.01, x, y + 0.01))
+    }.toDF("poly_id", "ring")
+    assert(PipJoin.pickCoverLevel(tiny, "ring") === 14)
+    // planet-scale polygons: a coarse level — finer would explode the cover
+    val planet = Seq(
+      ("west", Seq(-170.0, -70.0, -10.0, -70.0, -10.0, 70.0, -170.0, 70.0)),
+      ("east", Seq(10.0, -70.0, 170.0, -70.0, 170.0, 70.0, 10.0, 70.0))
+    ).toDF("poly_id", "ring")
+    val coarse = PipJoin.pickCoverLevel(planet, "ring")
+    assert(coarse <= 3, s"continent-scale polys must pick a coarse level, got $coarse")
+    // the estimate bound holds at the picked level for the median poly
+    val cw = 360.0 / (1L << coarse); val ch = 180.0 / (1L << coarse)
+    assert((160.0 / cw + 2) * (140.0 / ch + 2) <= 24.0)
+    // no polygons at all: the safe default
+    assert(PipJoin.pickCoverLevel(tiny.where(lit(false)), "ring") === 6)
+    // AutoLevel sentinel flows through join and stays exact
+    val pts = points(500).toDF("pid", "lon", "lat")
+    val pl = polys.map { case (n, r) => (n, r.toSeq) }.toDF("poly_id", "ring")
+    val auto = PipJoin.join(pts, pl, "pid", "lon", "lat", "poly_id", "ring",
+        level = PipJoin.AutoLevel)
+      .select("pid", "poly_id").as[(Long, String)].collect().toSet
+    val fixed = PipJoin.join(pts, pl, "pid", "lon", "lat", "poly_id", "ring", level = 6)
+      .select("pid", "poly_id").as[(Long, String)].collect().toSet
+    assert(auto === fixed)
+  }
+
   test("shelve observes the J2 skip metrics (0-match / multi-match counts)") {
     val pts = points(3000).toDF("pid", "lon", "lat")
     val pl = polys.map { case (n, r) => (n, r.toSeq) }.toDF("poly_id", "ring")

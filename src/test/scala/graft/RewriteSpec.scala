@@ -63,6 +63,74 @@ class RewriteSpec extends AnyFunSuite {
     }
   }
 
+  test("left-outer st_contains join rewrites and null-extends unmatched points once") {
+    withExtSession { spark =>
+      import spark.implicits._
+      points(1500).toDF("pid", "lon", "lat").createOrReplaceTempView("pts")
+      polys.toDF("poly_id", "ring").createOrReplaceTempView("polys")
+      val df = spark.sql(
+        """SELECT pid, poly_id FROM pts LEFT JOIN polys
+          |ON graft_st_contains(ring, lon, lat)""".stripMargin)
+      val plan = df.queryExecution.executedPlan.toString
+      assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct"),
+        s"left theta join must be rewritten to an equi-join:\n${plan.take(1500)}")
+      val got = df.as[(Long, Option[String])].collect().toSet
+      val expected = points(1500).flatMap { case (pid, lon, lat) =>
+        val ms = polys.collect { case (name, ring) if Geom.contains(ring.toArray, lon, lat) => name }
+        if (ms.isEmpty) Seq((pid, None)) else ms.map(n => (pid, Some(n)))
+      }.toSet
+      assert(got === expected)
+      assert(expected.exists(_._2.isEmpty) && expected.exists(_._2.nonEmpty))
+    }
+  }
+
+  test("SQL left join + exactly-one aggregation equals PipJoin.shelve") {
+    withExtSession { spark =>
+      import spark.implicits._
+      val ptsDf = points(1500).toDF("pid", "lon", "lat")
+      val polysDf = polys.toDF("poly_id", "ring")
+      ptsDf.createOrReplaceTempView("pts")
+      polysDf.createOrReplaceTempView("polys")
+      // the J2 shelve written in plain SQL: exactly-one match keeps the point
+      val sql = spark.sql(
+        """SELECT pid, max(poly_id) AS poly_id
+          |FROM pts LEFT JOIN polys ON graft_st_contains(ring, lon, lat)
+          |GROUP BY pid HAVING count(poly_id) = 1""".stripMargin)
+      val plan = sql.queryExecution.executedPlan.toString
+      assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct"))
+      val viaSql = sql.as[(Long, String)].collect().toSet
+      val viaOp = graft.ops.PipJoin
+        .shelve(ptsDf, polysDf, "pid", "lon", "lat", "poly_id", "ring", level = 6)
+        .select("pid", "poly_id").as[(Long, String)].collect().toSet
+      assert(viaSql === viaOp)
+      assert(viaOp.nonEmpty)
+    }
+  }
+
+  test("spark.graft.pip.level=auto derives the cover level from polygon extents") {
+    withExtSession { spark =>
+      import spark.implicits._
+      spark.conf.set("spark.graft.pip.level", "auto")
+      try {
+        points(1500).toDF("pid", "lon", "lat").createOrReplaceTempView("pts")
+        polys.toDF("poly_id", "ring").createOrReplaceTempView("polys")
+        val df = spark.sql(
+          """SELECT pid, poly_id FROM pts JOIN polys
+            |ON graft_st_contains(ring, lon, lat)""".stripMargin)
+        val plan = df.queryExecution.executedPlan.toString
+        assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct"))
+        val got = df.as[(Long, String)].collect().toSet
+        val expected = (for {
+          (pid, lon, lat) <- points(1500)
+          (name, ring) <- polys
+          if Geom.contains(ring.toArray, lon, lat)
+        } yield (pid, name)).toSet
+        assert(got === expected)
+        assert(expected.nonEmpty)
+      } finally spark.conf.set("spark.graft.pip.level", "6")
+    }
+  }
+
   test("extra conjuncts survive as post-join filters; swapped sides rewrite too") {
     withExtSession { spark =>
       import spark.implicits._
