@@ -85,6 +85,17 @@ object Icelite {
   case class FileEntry(path: String, mod: Int, res: Int, rows: Long, checksum: Long,
                        stats: Map[String, (String, String)] = Map.empty)
 
+  /** One manifest-list entry: a content-addressed segment file holding a
+    * bucket's [[FileEntry]] list, plus the LIST-LEVEL pruning metadata — its
+    * row sum and per-column zone maps aggregated over its entries (a column
+    * is bounded only when EVERY entry bounds it; aggregation order follows
+    * the schema type, numeric for numeric columns, UTF-8 for strings — the
+    * same orders the prune-time compare uses). `rows = -1` marks a legacy
+    * plain-name ref (pre-stats manifest): no list-level pruning, full read.
+    */
+  case class SegmentRef(name: String, rows: Long,
+                        stats: Map[String, (String, String)] = Map.empty)
+
   /** `bucketSpec` records the PK columns (comma-joined, order-sensitive) the
     * slice hashes were computed from; a merge with a different PK spec must
     * not trust the slice claims (it takes the full-rewrite path). */
@@ -101,10 +112,7 @@ object Icelite {
     * manifests. */
   private def emptyTyped(spark: SparkSession, snap: Snapshot): DataFrame =
     if (snap.schemaJson.isEmpty) spark.emptyDataFrame
-    else spark.createDataFrame(
-      new java.util.ArrayList[org.apache.spark.sql.Row](),
-      org.apache.spark.sql.types.DataType.fromJson(snap.schemaJson)
-        .asInstanceOf[org.apache.spark.sql.types.StructType])
+    else emptyTypedJson(spark, snap.schemaJson)
 
   /** Column reference by EXACT name: `col("a.b")` parses the dot as nested
     * field access and fails on a legal flat column named `a.b`; backtick
@@ -155,18 +163,19 @@ object Icelite {
     * table as empty, a merge would drop every existing row, and GC would
     * delete live data.
     */
+  // stats KEYS AND VALUES are base64 in the current `stats64` form (the
+  // alphabet has no '"' '{' '}'), so the entry and inner-pair regexes stay
+  // exact on arbitrary column names and data values; the earlier `stats`
+  // form (raw keys, b64 values) still parses for manifests written before
+  // the key encoding
+  private val statPair = """"([^"]*)":\["([A-Za-z0-9+/=]*)","([A-Za-z0-9+/=]*)"\]""".r
+  private def parseStats(s: String, keyB64: Boolean): Map[String, (String, String)] =
+    if (s == null || s.isEmpty) Map.empty
+    else statPair.findAllMatchIn(s)
+      .map(m => (if (keyB64) b64dec(m.group(1)) else m.group(1))
+        -> (b64dec(m.group(2)), b64dec(m.group(3)))).toMap
+
   private def parseEntries(txt: String, nBuckets: Int): Seq[FileEntry] = {
-    // stats KEYS AND VALUES are base64 in the current `stats64` form (the
-    // alphabet has no '"' '{' '}'), so the entry and inner-pair regexes stay
-    // exact on arbitrary column names and data values; the earlier `stats`
-    // form (raw keys, b64 values) still parses for manifests written before
-    // the key encoding
-    val statPair = """"([^"]*)":\["([A-Za-z0-9+/=]*)","([A-Za-z0-9+/=]*)"\]""".r
-    def parseStats(s: String, keyB64: Boolean): Map[String, (String, String)] =
-      if (s == null || s.isEmpty) Map.empty
-      else statPair.findAllMatchIn(s)
-        .map(m => (if (keyB64) b64dec(m.group(1)) else m.group(1))
-          -> (b64dec(m.group(2)), b64dec(m.group(3)))).toMap
     val sliceFiles = """\{"path":"([^"]*)","mod":(\d+),"res":(\d+),"rows":(\d+),"checksum":(-?\d+)(?:,"stats(64)?":\{([^}]*)\})?\}""".r
       .findAllMatchIn(txt)
       .map(m => FileEntry(m.group(1), m.group(2).toInt, m.group(3).toInt,
@@ -183,16 +192,19 @@ object Icelite {
       }.toSeq
   }
 
+  private def manifestField(txt: String, k: String): String = {
+    val m = (s""""$k"\\s*:\\s*("([^"]*)"|[0-9-]+)""").r.findFirstMatchIn(txt)
+      .getOrElse(throw new IllegalStateException(s"manifest missing $k"))
+    Option(m.group(2)).getOrElse(m.group(1))
+  }
+  private def manifestOpt(txt: String, k: String, default: String): String =
+    (s""""$k"\\s*:\\s*("([^"]*)"|[0-9-]+)""").r.findFirstMatchIn(txt)
+      .map(m => Option(m.group(2)).getOrElse(m.group(1))).getOrElse(default)
+
   def readManifest(table: String, id: Long): Snapshot = {
     val txt = Files.readString(metaDir(table).resolve(s"snapshot-$id.json"))
-    def field(k: String): String = {
-      val m = (s""""$k"\\s*:\\s*("([^"]*)"|[0-9-]+)""").r.findFirstMatchIn(txt)
-        .getOrElse(throw new IllegalStateException(s"manifest missing $k"))
-      Option(m.group(2)).getOrElse(m.group(1))
-    }
-    def opt(k: String, default: String): String =
-      (s""""$k"\\s*:\\s*("([^"]*)"|[0-9-]+)""").r.findFirstMatchIn(txt)
-        .map(m => Option(m.group(2)).getOrElse(m.group(1))).getOrElse(default)
+    def field(k: String): String = manifestField(txt, k)
+    def opt(k: String, default: String): String = manifestOpt(txt, k, default)
     val nBuckets = opt("nBuckets", "0").toInt
     // segmented manifest (the Iceberg manifest-list analog): file entries
     // live in content-addressed segment files referenced by name; a round-4
@@ -201,7 +213,7 @@ object Icelite {
     val files =
       if (refs.nonEmpty)
         refs.flatMap(seg => parseEntries(
-          Files.readString(metaDir(table).resolve(seg)), nBuckets))
+          Files.readString(metaDir(table).resolve(seg.name)), nBuckets))
       else parseEntries(txt, nBuckets)
     val rowCount = field("rowCount").toLong
     // cross-check the commit-time invariant rowCount == Σ entry rows: a
@@ -223,12 +235,26 @@ object Icelite {
       field("inputFingerprint"), nBuckets, opt("bucketSpec", ""), schemaJson)
   }
 
-  /** The segment file names a manifest's raw JSON references (shared by the
-    * read path and segment GC — a divergence here would GC live metadata). */
-  private def segmentRefs(manifestTxt: String): Seq[String] =
-    """"segments"\s*:\s*\[([^\]]*)\]""".r.findFirstMatchIn(manifestTxt)
-      .map(_.group(1)).toSeq
-      .flatMap(inner => """"([^"]+)"""".r.findAllMatchIn(inner).map(_.group(1)))
+  /** The segment refs a manifest's raw JSON references (shared by the read
+    * path, list-level pruning, and segment GC — a divergence here would GC
+    * live metadata). Current form: objects with name + rows + aggregated
+    * stats; a pre-stats manifest's plain name array parses as refs with
+    * `rows = -1` (no list-level pruning, full read). The inner regexes stay
+    * exact because segment names and b64 stats carry no `]` or `}`. */
+  private def segmentRefs(manifestTxt: String): Seq[SegmentRef] = {
+    // the segments array is the manifest's LAST field (manifestJson) — match
+    // greedily to the closing `]}`: the object form's stats64 pairs contain
+    // `]` characters, so a first-`]` match would truncate the array
+    val inner = """"segments"\s*:\s*\[([\s\S]*)\]\s*\}\s*$""".r.findFirstMatchIn(manifestTxt)
+      .map(_.group(1)).getOrElse(return Seq.empty)
+    val objRe = """\{"name":"([^"]+)","rows":(\d+)(?:,"stats64":\{([^}]*)\})?\}""".r
+    val objs = objRe.findAllMatchIn(inner)
+      .map(m => SegmentRef(m.group(1), m.group(2).toLong,
+        parseStats(m.group(3), keyB64 = true))).toSeq
+    if (objs.nonEmpty) objs
+    else """"([^"]+)"""".r.findAllMatchIn(inner)
+      .map(m => SegmentRef(m.group(1), -1L)).toSeq
+  }
 
   /** Per-file lineage of freshly written parquet under `dataDir`: one scan,
     * grouped by physical file. `dataCols` is the logical schema (the
@@ -397,7 +423,7 @@ object Icelite {
         case Some(base) if base != cur => return None // lost the race
         case _ =>
       }
-      val segments = writeSegments(table, entries, nBuckets)
+      val segments = writeSegments(table, entries, nBuckets, schemaJson)
       var id = cur.getOrElse(0L) + 1
       var written = false
       while (!written) {
@@ -436,17 +462,17 @@ object Icelite {
   private def b64dec(s: String): String =
     new String(java.util.Base64.getDecoder.decode(s), "UTF-8")
 
-  private def entryJson(f: FileEntry): String = {
-    // keys are b64 like the values: a column named with JSON structural
-    // chars must not corrupt the hand-rolled grammar (sorted by RAW name so
-    // the segment body — and its content-address — is deterministic)
-    val stats =
-      if (f.stats.isEmpty) ""
-      else f.stats.toSeq.sortBy(_._1)
-        .map { case (c, (lo, hi)) => s""""${b64enc(c)}":["${b64enc(lo)}","${b64enc(hi)}"]""" }
-        .mkString(""","stats64":{""", ",", "}")
-    s"""{"path":"${f.path}","mod":${f.mod},"res":${f.res},"rows":${f.rows},"checksum":${f.checksum}$stats}"""
-  }
+  // keys are b64 like the values: a column named with JSON structural
+  // chars must not corrupt the hand-rolled grammar (sorted by RAW name so
+  // the serialized body — and a segment's content-address — is deterministic)
+  private def stats64Json(stats: Map[String, (String, String)]): String =
+    if (stats.isEmpty) ""
+    else stats.toSeq.sortBy(_._1)
+      .map { case (c, (lo, hi)) => s""""${b64enc(c)}":["${b64enc(lo)}","${b64enc(hi)}"]""" }
+      .mkString(""","stats64":{""", ",", "}")
+
+  private def entryJson(f: FileEntry): String =
+    s"""{"path":"${f.path}","mod":${f.mod},"res":${f.res},"rows":${f.rows},"checksum":${f.checksum}${stats64Json(f.stats)}}"""
 
   private def md5hex(s: String): String =
     java.security.MessageDigest.getInstance("MD5")
@@ -464,11 +490,34 @@ object Icelite {
     * segment (manifest not yet written) would look unreferenced.
     */
   private def writeSegments(table: String, entries: Seq[FileEntry],
-                            nBuckets: Int): Seq[String] = {
+                            nBuckets: Int, schemaJson: String): Seq[SegmentRef] = {
     val base = math.max(1, nBuckets)
-    entries.groupBy(f => if (f.mod > 0) f.res % base else 0).toSeq.sortBy(_._1)
-      .map { case (_, fs) =>
-        val body = fs.sortBy(_.path).map(entryJson).mkString("[", ",\n", "]")
+    val numericCols = numericColsOf(schemaJson)
+    // Sliced (hash-claim) entries segment BY BASE BUCKET: the grouping is
+    // stable across merges, so untouched buckets content-address to the same
+    // segment file (commit metadata O(changed buckets)). Their aggregated
+    // zone maps rarely prune (hash is uniform over the PK), which is fine —
+    // reuse is their job. UNSLICED entries (a clustered full-overwrite
+    // commit: the ANN index, a time-ordered event log) segment into ~√n
+    // path-sorted chunks instead of one flat list: path order follows the
+    // writer's partition order, so each chunk's aggregated bounds are tight
+    // and [[planScan]] prunes whole chunks at the list level — a balanced
+    // O(√n)-refs-per-manifest, O(√n)-entries-per-segment hierarchy at any n.
+    val (sliced, unsliced) = entries.partition(_.mod > 0)
+    val slicedGroups = sliced.groupBy(_.res % base).toSeq.sortBy(_._1).map(_._2)
+    val unslicedGroups = {
+      val sorted = unsliced.sortBy(_.path)
+      if (sorted.isEmpty) Seq.empty
+      else {
+        val chunk = math.max(1,
+          math.ceil(sorted.size / math.ceil(math.sqrt(sorted.size.toDouble))).toInt)
+        sorted.grouped(chunk).toSeq
+      }
+    }
+    (slicedGroups ++ unslicedGroups)
+      .map { fs =>
+        val sorted = fs.sortBy(_.path)
+        val body = sorted.map(entryJson).mkString("[", ",\n", "]")
         // full 128-bit content hash: this name IS the identity reuse trusts
         // blindly (Files.exists ⇒ skip write), and a collision would commit
         // a manifest pointing at another bucket-state's entries — don't thin
@@ -479,19 +528,57 @@ object Icelite {
           try Files.writeString(p, body, StandardOpenOption.CREATE_NEW)
           catch { case _: java.nio.file.FileAlreadyExistsException => () }
         }
-        name
+        SegmentRef(name, sorted.map(_.rows).sum, aggBounds(sorted, numericCols))
       }
+  }
+
+  /** Columns whose stored bounds order NUMERICALLY (from the persisted
+    * schema); everything else orders as UTF-8 strings. The aggregation order
+    * must match the order [[pruneFiles]]-style compares use at read time, or
+    * a list-level bound could be tighter than its segment's values. */
+  private def numericColsOf(schemaJson: String): Set[String] =
+    if (schemaJson.isEmpty) Set.empty
+    else try {
+      org.apache.spark.sql.types.DataType.fromJson(schemaJson)
+        .asInstanceOf[org.apache.spark.sql.types.StructType]
+        .fields.collect {
+          case f if f.dataType.isInstanceOf[org.apache.spark.sql.types.NumericType] => f.name
+        }.toSet
+    } catch { case scala.util.control.NonFatal(_) => Set.empty }
+
+  /** Per-column zone map over a segment's entries: a column is bounded only
+    * when every entry bounds it (one stat-less file makes the segment's
+    * content unknowable for that column — absent stats = never pruned, same
+    * contract as the file level). Numeric columns aggregate by numeric value
+    * but keep the ORIGINAL bound strings (re-rendering could round);
+    * unparseable numeric bounds (NaN/Infinity) drop the column. */
+  private def aggBounds(fs: Seq[FileEntry],
+                        numericCols: Set[String]): Map[String, (String, String)] = {
+    if (fs.isEmpty) return Map.empty
+    val cols = fs.map(_.stats.keySet).reduce(_ intersect _)
+    cols.iterator.flatMap { c =>
+      val bs = fs.map(_.stats(c))
+      if (numericCols(c))
+        try Some(c -> (bs.minBy(b => BigDecimal(b._1))._1,
+                       bs.maxBy(b => BigDecimal(b._2))._2))
+        catch { case _: NumberFormatException => None }
+      else Some(c -> (bs.map(_._1).reduce((a, b) => if (utf8Lt(a, b)) a else b),
+                      bs.map(_._2).reduce((a, b) => if (utf8Lt(a, b)) b else a)))
+    }.toMap
   }
 
   private def manifestJson(id: Long, uuid: String, rowCount: Long,
                            inputFingerprint: String, nBuckets: Int, bucketSpec: String,
-                           schemaJson: String, segments: Seq[String]): String = {
+                           schemaJson: String, segments: Seq[SegmentRef]): String = {
+    val segJson = segments
+      .map(s => s"""{"name":"${s.name}","rows":${s.rows}${stats64Json(s.stats)}}""")
+      .mkString("[", ",", "]")
     s"""{"id":$id,"uuid":"$uuid","rowCount":$rowCount,
        |"inputFingerprint":"$inputFingerprint",
        |"nBuckets":$nBuckets,
        |"bucketSpec":"$bucketSpec",
        |"schemaJson":"${b64enc(schemaJson)}",
-       |"segments":${segments.map("\"" + _ + "\"").mkString("[", ",", "]")}}""".stripMargin
+       |"segments":$segJson}""".stripMargin
   }
 
   /** Smallest `base · 2^d` with `est / it ≤ maxRows` — the modulus for a
@@ -837,22 +924,77 @@ object Icelite {
     require(ranges.nonEmpty, "readWhereAll needs at least one range")
     val id = currentSnapshotId(table).getOrElse(
       throw new IllegalStateException(s"no committed snapshot in $table"))
-    val snap = readManifest(table, id)
-    if (snap.files.isEmpty) return emptyTyped(spark, snap)
-    val keep = ranges.foldLeft(snap.files) { case (fs, (c, lo, hi)) =>
-      pruneFiles(fs, c, lo, hi)
-    }
+    val (keep, schemaJson, fallback) = planScan(table, id, ranges)
     val base =
       if (keep.isEmpty)
         // everything pruned: preserve the schema metadata-only when the
         // manifest carries it (no footer open), else via an empty scan
-        if (snap.schemaJson.nonEmpty) emptyTyped(spark, snap)
-        else spark.read.parquet(snap.files.head.path).where(lit(false))
+        if (schemaJson.nonEmpty) emptyTypedJson(spark, schemaJson)
+        else fallback() match {
+          case Seq() => spark.emptyDataFrame
+          case fs => spark.read.parquet(fs.head.path).where(lit(false))
+        }
       else spark.read.parquet(keep.map(_.path): _*)
     ranges.foldLeft(base) { case (df, (c, lo, hi)) =>
       df.where(qcol(c) >= lit(lo) && qcol(c) <= lit(hi))
     }
   }
+
+  /** Scan planning: the surviving file entries for a conjunctive range set,
+    * pruning at BOTH metadata levels — whole manifest segments whose
+    * aggregated zone map excludes a range are never even read (the Iceberg
+    * manifest-list partition-summary analog; at the 10^6-file design point
+    * this is the difference between parsing every segment's entry list on
+    * the driver and opening only the matching buckets' segments), then
+    * per-file zone maps within the surviving segments. Returns (kept files,
+    * persisted schema JSON, fallback thunk yielding the FULL file list for
+    * schema recovery). Legacy manifests (inline entries or plain-name refs)
+    * skip the list level. Integrity: when pruning skips segments the
+    * rowCount==Σrows invariant is enforced at the LIST level (Σ ref rows)
+    * plus per parsed segment, so a truncated segment still fails loudly.
+    */
+  private def planScan(table: String, id: Long, ranges: Seq[(String, Any, Any)])
+      : (Seq[FileEntry], String, () => Seq[FileEntry]) = {
+    val txt = Files.readString(metaDir(table).resolve(s"snapshot-$id.json"))
+    val refs = segmentRefs(txt)
+    val schemaJson = manifestOpt(txt, "schemaJson", "") match {
+      case "" => ""
+      case b64 => b64dec(b64)
+    }
+    if (refs.isEmpty || refs.exists(_.rows < 0)) {
+      // inline or legacy manifest: no list level to prune — full parse
+      val snap = readManifest(table, id)
+      val keep = ranges.foldLeft(snap.files) { case (fs, (c, lo, hi)) =>
+        pruneFiles(fs, c, lo, hi) }
+      (keep, snap.schemaJson, () => snap.files)
+    } else {
+      val rowCount = manifestField(txt, "rowCount").toLong
+      if (rowCount != refs.map(_.rows).sum)
+        throw new IllegalStateException(
+          s"manifest snapshot-$id.json of $table claims $rowCount rows but its " +
+            s"segment refs sum to ${refs.map(_.rows).sum} — corrupt manifest list")
+      val nBuckets = manifestOpt(txt, "nBuckets", "0").toInt
+      val liveRefs = refs.filter(r => ranges.forall { case (c, lo, hi) =>
+        r.stats.get(c).forall { case (mn, mx) => boundsOverlap(mn, mx, lo, hi) } })
+      val files = liveRefs.flatMap { r =>
+        val es = parseEntries(Files.readString(metaDir(table).resolve(r.name)), nBuckets)
+        if (es.map(_.rows).sum != r.rows)
+          throw new IllegalStateException(
+            s"segment ${r.name} of $table claims ${r.rows} rows but its entries " +
+              s"sum to ${es.map(_.rows).sum} — corrupt segment")
+        es
+      }
+      val keep = ranges.foldLeft(files) { case (fs, (c, lo, hi)) =>
+        pruneFiles(fs, c, lo, hi) }
+      (keep, schemaJson, () => readManifest(table, id).files)
+    }
+  }
+
+  private def emptyTypedJson(spark: SparkSession, schemaJson: String): DataFrame =
+    spark.createDataFrame(
+      new java.util.ArrayList[org.apache.spark.sql.Row](),
+      org.apache.spark.sql.types.DataType.fromJson(schemaJson)
+        .asInstanceOf[org.apache.spark.sql.types.StructType])
 
   /** The manifest-pruning half of [[readWhere]], exposed for tests and scan
     * metrics: the files whose stats cannot exclude `[lo, hi]` on `column`.
@@ -862,16 +1004,21 @@ object Icelite {
     * upper bound is ≥ every value in the file by construction).
     */
   def pruneFiles(files: Seq[FileEntry], column: String,
-                 lo: Any, hi: Any): Seq[FileEntry] = {
-    val numeric = lo.isInstanceOf[Number] && hi.isInstanceOf[Number]
-    def overlaps(mn: String, mx: String): Boolean =
-      if (numeric) {
-        try !(BigDecimal(mx) < BigDecimal(lo.toString) ||
-              BigDecimal(mn) > BigDecimal(hi.toString))
-        catch { case _: NumberFormatException => true }
-      } else !(utf8Lt(mx, lo.toString) || utf8Lt(hi.toString, mn))
-    files.filter(_.stats.get(column).forall { case (mn, mx) => overlaps(mn, mx) })
-  }
+                 lo: Any, hi: Any): Seq[FileEntry] =
+    files.filter(_.stats.get(column).forall { case (mn, mx) =>
+      boundsOverlap(mn, mx, lo, hi) })
+
+  /** Can stored bounds [mn, mx] intersect the query range [lo, hi]?
+    * Numeric when the caller's bounds are numbers (unparseable stored
+    * bounds — NaN/Infinity — disable pruning), UTF-8-lexical otherwise.
+    * Shared by the file level and the manifest-list level so the two prune
+    * tiers can never disagree on ordering. */
+  private def boundsOverlap(mn: String, mx: String, lo: Any, hi: Any): Boolean =
+    if (lo.isInstanceOf[Number] && hi.isInstanceOf[Number]) {
+      try !(BigDecimal(mx) < BigDecimal(lo.toString) ||
+            BigDecimal(mn) > BigDecimal(hi.toString))
+      catch { case _: NumberFormatException => true }
+    } else !(utf8Lt(mx, lo.toString) || utf8Lt(hi.toString, mn))
 
   /** Unsigned UTF-8-byte comparison — Spark's UTF8String (and so its string
     * min/max and filter) ordering, which differs from Java's UTF-16
@@ -1018,6 +1165,7 @@ object Icelite {
       // references (content-addressing shares segments across snapshots)
       val keptSegs: Set[String] = kept.flatMap { id =>
         segmentRefs(Files.readString(metaDir(table).resolve(s"snapshot-$id.json")))
+          .map(_.name)
       }.toSet
       expired.foreach(id => Files.delete(metaDir(table).resolve(s"snapshot-$id.json")))
       val segLs = Files.list(metaDir(table))

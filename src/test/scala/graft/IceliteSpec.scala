@@ -268,8 +268,7 @@ class IceliteSpec extends SparkSpec {
   test("commit metadata is O(changed buckets): untouched manifest segments are reused by name") {
     def segRefs(t: String, id: Long): Set[String] = {
       val txt = Files.readString(Paths.get(t, "meta", s"snapshot-$id.json"))
-      """"segments"\s*:\s*\[([^\]]*)\]""".r.findFirstMatchIn(txt).map(_.group(1)).toSeq
-        .flatMap(inner => """"([^"]+)"""".r.findAllMatchIn(inner).map(_.group(1))).toSet
+      """segment-[0-9a-f]{32}\.json""".r.findAllMatchIn(txt).map(_.matched).toSet
     }
     val t = tmpDir() + "/seg1"
     val big = (1 to 1000).map(i => (i.toLong, s"v$i")).toDF("id", "v")
@@ -293,6 +292,44 @@ class IceliteSpec extends SparkSpec {
     assert(liveSegs === s2, "GC must keep exactly the retained snapshot's segments")
     assert(Icelite.read(spark, t).count() === 1000)
     assert(Icelite.verifyLineage(spark, t))
+  }
+
+  test("readWhere prunes whole segments at the manifest-list level (clustered commit)") {
+    val t = tmpDir() + "/seglevel1"
+    // a range-CLUSTERED full-overwrite commit: 80 part files with disjoint
+    // tenx ranges → unsliced entries chunk into ~9 path-ordered segments
+    // whose aggregated bounds are tight, so a narrow range keeps one chunk
+    val df = (1 to 2000).map(i => (i.toLong, i * 10L)).toDF("id", "tenx")
+      .repartitionByRange(80, col("tenx"))
+    Icelite.commit(spark, df, t)
+    val id1 = Icelite.currentSnapshotId(t).get
+    val hit = Icelite.readWhere(spark, t, "tenx", 550L, 550L)
+    assert(hit.as[(Long, Long)].collect().toSet === Set((55L, 550L)))
+    val meta = Paths.get(t, "meta")
+    val txt = Files.readString(meta.resolve(s"snapshot-$id1.json"))
+    val segs = """segment-[0-9a-f]{32}\.json""".r.findAllMatchIn(txt).map(_.matched).toSeq.distinct
+    assert(segs.size > 1, "clustered commit must chunk into multiple segments")
+    // the keeper: the segment whose aggregated tenx zone map contains 550
+    def dec(x: String) = new String(java.util.Base64.getDecoder.decode(x), "UTF-8")
+    val keepers = segs.filter { s =>
+      val refRe = ("""\{"name":"""" + java.util.regex.Pattern.quote(s) +
+        """","rows":\d+,"stats64":\{([^}]*)\}\}""").r
+      refRe.findFirstMatchIn(txt).exists { m =>
+        """"([A-Za-z0-9+/=]*)":\["([A-Za-z0-9+/=]*)","([A-Za-z0-9+/=]*)"\]""".r
+          .findAllMatchIn(m.group(1)).exists { p =>
+            dec(p.group(1)) == "tenx" &&
+              BigDecimal(dec(p.group(2))) <= 550 && BigDecimal(dec(p.group(3))) >= 550
+          }
+      }
+    }
+    assert(keepers.size === 1, s"tight chunk bounds must keep exactly one segment, got $keepers")
+    // delete every OTHER segment file: a full manifest parse now throws, but
+    // the list-level pruned scan never opens them — proof the planner
+    // skipped whole segments, not just files
+    segs.filterNot(keepers.contains).foreach(s => Files.delete(meta.resolve(s)))
+    intercept[Exception](Icelite.read(spark, t).count())
+    val pruned = Icelite.readWhere(spark, t, "tenx", 550L, 550L)
+    assert(pruned.as[(Long, Long)].collect().toSet === Set((55L, 550L)))
   }
 
   test("round-4 inline manifests (files embedded) still read after the segment change") {
