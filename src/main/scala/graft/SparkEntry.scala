@@ -1190,10 +1190,33 @@ object SparkEntry {
         |    ON p.lon >= t.x0 AND p.lon <= t.x1 AND p.lat >= t.y0 AND p.lat <= t.y1
         |) WHERE nt = 1""".stripMargin, Pages.docPagesCte, Pages.tilesCte),
 
+    // Semantically `pages LEFT JOIN tiles ON containment`, but written as
+    // candidate-generation + EQUI-joins: DuckDB 1.0.0's multithreaded outer
+    // IEJoin can livelock (reproduced in this sandbox: the plain LEFT
+    // theta-join form spins at 100% CPU when run on a warm multi-query
+    // connection with threads >= 8, while the same SQL completes in <1 s on
+    // a fresh connection). Grid candidates come from the point's 3x3
+    // neighborhood of 15-degree grid columns/rows (inclusive bounds put a
+    // boundary point in up to 4 tiles; the containment recheck against the
+    // tiles CTE's own bounds drops spurious neighbors), the two HOT tiles
+    // are constant candidates, and null-extension is a doc_id equi-join.
     "q_pip_left" -> withCtes(
-      """SELECT p.doc_id, t.tile_name
-        |FROM pages p LEFT JOIN tiles t
-        |  ON p.lon >= t.x0 AND p.lon <= t.x1 AND p.lat >= t.y0 AND p.lat <= t.y1""".stripMargin,
+      """SELECT p.doc_id, m.tile_name
+        |FROM pages p LEFT JOIN (
+        |  SELECT c.doc_id, t.tile_name
+        |  FROM (
+        |    SELECT p2.doc_id, p2.lon, p2.lat,
+        |           'T' || CAST((CAST(FLOOR((p2.lat + 90.0) / 15.0) AS INTEGER) + d.dy) * 24
+        |                     + (CAST(FLOOR((p2.lon + 180.0) / 15.0) AS INTEGER) + d.dx) AS VARCHAR) AS cname
+        |    FROM pages p2 CROSS JOIN (VALUES (-1,-1),(-1,0),(-1,1),(0,-1),(0,0),(0,1),(1,-1),(1,0),(1,1)) d(dx,dy)
+        |    WHERE CAST(FLOOR((p2.lon + 180.0) / 15.0) AS INTEGER) + d.dx BETWEEN 0 AND 23
+        |      AND CAST(FLOOR((p2.lat + 90.0) / 15.0) AS INTEGER) + d.dy BETWEEN 0 AND 11
+        |    UNION ALL
+        |    SELECT p2.doc_id, p2.lon, p2.lat, h.cname
+        |    FROM pages p2 CROSS JOIN (VALUES ('HOT_A'),('HOT_B')) h(cname)
+        |  ) c JOIN tiles t ON c.cname = t.tile_name
+        |  WHERE c.lon >= t.x0 AND c.lon <= t.x1 AND c.lat >= t.y0 AND c.lat <= t.y1
+        |) m ON p.doc_id = m.doc_id""".stripMargin,
       Pages.docPagesCte, Pages.tilesCte),
 
     "q_knn" -> withCtes(
