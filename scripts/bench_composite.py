@@ -11,10 +11,17 @@ composite is reproducible from the repo alone:
   - per-run context (timed totals, load ranges) for host-noise adjudication.
 
 Usage: scripts/bench_composite.py [bench_runs_dir] [--baseline BENCH_rN.json]
+       scripts/bench_composite.py [bench_runs_dir] --scaling
 
 With --baseline, also prints the shared-query composite restricted to the
 queries present in the baseline's "queries" map (cross-round comparison on
 the common set).
+
+With --scaling, aggregates `scaling-*.json` artifacts written by
+`graft.ScalingBench` instead: per mode, the minimum timed seconds at each
+core count across every committed artifact, and the min-based north-rule
+efficiency t8 / (4 * t32) — with per-artifact timed times and load ranges so
+host-noise claims are checkable in-band rather than narrative.
 """
 import glob
 import json
@@ -22,9 +29,53 @@ import os
 import sys
 
 
+def scaling_main(runs_dir):
+    arts = []
+    for path in sorted(glob.glob(os.path.join(runs_dir, "scaling-*.json"))):
+        with open(path) as f:
+            art = json.load(f)
+        art["_path"] = path
+        arts.append(art)
+    if not arts:
+        print(json.dumps({"error": f"no scaling artifacts under {runs_dir}"}))
+        return 1
+
+    modes = {}
+    per_art = []
+    for art in arts:
+        timed = [r for r in art["runs"] if r["kind"] == "timed"]
+        loads = [x for r in art["runs"]
+                 for x in (r.get("load_before"), r.get("load_after"))
+                 if x is not None and x >= 0]
+        by_cores = {}
+        for r in timed:
+            by_cores.setdefault(r["cores"], []).append(round(r["sec"], 2))
+        per_art.append({
+            "path": art["_path"], "mode": art.get("mode"), "rows": art.get("rows"),
+            "timed_by_cores": by_cores,
+            "load_min": min(loads) if loads else None,
+            "load_max": max(loads) if loads else None,
+        })
+        m = modes.setdefault(art.get("mode"), {})
+        for r in timed:
+            m[r["cores"]] = min(m.get(r["cores"], float("inf")), r["sec"])
+
+    summary = {}
+    for mode, best in modes.items():
+        entry = {f"t{c}_min_sec": round(s, 3) for c, s in sorted(best.items())}
+        if 8 in best and 32 in best:
+            entry["efficiency_min_based"] = round(best[8] / (4 * best[32]), 3)
+        summary[mode] = entry
+    print(json.dumps({"n_artifacts": len(arts), "modes": summary,
+                      "artifacts": per_art}, indent=1))
+    return 0
+
+
 def main():
     args = [a for a in sys.argv[1:] if not a.startswith("--")]
     runs_dir = args[0] if args else "bench_runs"
+    if "--scaling" in sys.argv:
+        return scaling_main(runs_dir)
     baseline = None
     if "--baseline" in sys.argv:
         baseline_path = sys.argv[sys.argv.index("--baseline") + 1]

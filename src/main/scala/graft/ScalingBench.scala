@@ -117,22 +117,36 @@ object ScalingBench {
       case _         => headlinePlan(spark, path)
     }
 
+  /** One timed execution record: cores, seconds, and the host's 1-minute
+    * loadavg sampled immediately before/after — the in-band noise evidence
+    * (same protocol as [[Bench]]'s per-pass load columns). `kind` is
+    * "warmup" or "timed". */
+  case class Run(cores: Int, kind: String, sec: Double,
+                 loadBefore: Double, loadAfter: Double)
+
+  private def loadAvg(): Double =
+    try java.nio.file.Files.readString(java.nio.file.Paths.get("/proc/loadavg"))
+      .split(" ")(0).toDouble
+    catch { case _: Throwable => -1.0 }
+
   /** One session at `cores`: warm once, then `runs` timed executions,
-    * return the per-run times. Evaluation goes through the noop SINK, not
+    * return every execution (warmup included) with its load samples.
+    * Evaluation goes through the noop SINK, not
     * count(): count() lets ColumnPruning drop unused aggregate expressions,
     * which silently eliminated the per-row tile/CRS compute from the
     * compute/heavy modes (the group key needs no trig) — the sink forces
     * every output column to be produced. */
-  def timeAt(cores: Int, path: String, mode: String, runs: Int): Seq[Double] = {
+  def timeAt(cores: Int, path: String, mode: String, runs: Int): Seq[Run] = {
     val spark = Session.local(cores, s"graft-scaling-$cores")
     try {
       val df = planFor(spark, path, mode)
-      df.write.mode("overwrite").format("noop").save() // JIT + codegen warmup
-      (1 to runs).map { _ =>
+      def one(kind: String): Run = {
+        val lb = loadAvg()
         val t0 = System.nanoTime()
         df.write.mode("overwrite").format("noop").save()
-        (System.nanoTime() - t0) / 1e9
+        Run(cores, kind, (System.nanoTime() - t0) / 1e9, lb, loadAvg())
       }
+      one("warmup") +: (1 to runs).map(_ => one("timed")) // JIT + codegen warmup first
     } finally spark.stop()
   }
 
@@ -162,12 +176,37 @@ object ScalingBench {
     val nPairs = sys.env.getOrElse("SPARK_GRAFT_SCALING_PAIRS", "4").toInt
     val nRuns = sys.env.getOrElse("SPARK_GRAFT_SCALING_RUNS", "2").toInt
     if (nPairs == 0) { println(s"""{"metric":"scaling-setup","rows":$rows}"""); return }
+    val allRuns = scala.collection.mutable.ArrayBuffer[Run]()
     val pairs = (1 to nPairs).map { r =>
-      val t8 = timeAt(8, path, mode, runs = nRuns).min
-      val t32 = timeAt(32, path, mode, runs = nRuns).min
+      val runs8 = timeAt(8, path, mode, runs = nRuns)
+      val runs32 = timeAt(32, path, mode, runs = nRuns)
+      allRuns ++= runs8 ++= runs32
+      val t8 = runs8.filter(_.kind == "timed").map(_.sec).min
+      val t32 = runs32.filter(_.kind == "timed").map(_.sec).min
       System.err.println(f"[scaling] round=$r t8=$t8%.2f t32=$t32%.2f pairEff=${t8 / (4 * t32)}%.3f")
       (t8, t32)
     }
+    // EVIDENCE PROTOCOL (round 6, closing the round-5 verdict's last gap):
+    // every invocation commits a raw artifact under bench_runs/ holding EVERY
+    // execution (warmups included) with per-run loadavg, so the north-rule
+    // table is reconstructible from the repo alone and host-noise claims are
+    // checkable in-band. scripts/bench_composite.py --scaling aggregates the
+    // min-based efficiency across committed artifacts.
+    val runsDir = sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "bench_runs")
+    val epochMs = System.currentTimeMillis()
+    val runId = java.util.UUID.randomUUID().toString.take(8)
+    val artifact = java.nio.file.Paths.get(runsDir, s"scaling-$epochMs-$runId.json")
+    java.nio.file.Files.createDirectories(artifact.getParent)
+    def runJson(x: Run): String =
+      s"""{"cores":${x.cores},"kind":"${x.kind}","sec":${x.sec},""" +
+        s""""load_before":${x.loadBefore},"load_after":${x.loadAfter}}"""
+    java.nio.file.Files.writeString(artifact,
+      s"""{"run_id":"$runId","epoch_ms":$epochMs,"mode":"$mode","sf":"$sfDir",
+         |"rep":$rep,"rows":$rows,"n_pairs":$nPairs,"runs_per_level":$nRuns,
+         |"runs":[
+         |${allRuns.map(runJson).mkString(",\n")}
+         |]}""".stripMargin)
+    System.err.println(s"[scaling] artifact: $artifact")
     val t8 = pairs.map(_._1).min
     val t32 = pairs.map(_._2).min
     val thr8 = rows / t8

@@ -312,7 +312,12 @@ object SparkEntry {
     // condition, so unmatched points null-extend exactly once — the SQL
     // surface of the shelve plan (RewriteSpec proves plan + equivalence).
     "q_pip_left" -> ((s, dir) => {
-      s.experimental.extraOptimizations = Seq(org.apache.spark.sql.graft.PipJoinRewrite)
+      // append idempotently — assignment would clobber pre-existing rules,
+      // and a shared Verify/Bench session must not lose them mid-run
+      if (!s.experimental.extraOptimizations.contains(
+          org.apache.spark.sql.graft.PipJoinRewrite))
+        s.experimental.extraOptimizations =
+          s.experimental.extraOptimizations :+ org.apache.spark.sql.graft.PipJoinRewrite
       val pts = Pages.fromDocuments(s, dir)
       val tiles = Pages.tiles(s).withColumn("ring",
         PipJoin.rectRing(col("x0"), col("y0"), col("x1"), col("y1")))

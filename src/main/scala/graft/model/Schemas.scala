@@ -60,7 +60,7 @@ object Schemas {
   val stripRegistration: Seq[FieldDef] = Seq(
     S("REG_SRC", 20), R("DX"), R("DY"), R("DZ"), I("NUM_GCPS"), R("MEANRESZ"))
 
-  /** DEM_ATTRIBUTE_DEFINITIONS_RELEASE (public strip release, 29 cols) —
+  /** DEM_ATTRIBUTE_DEFINITIONS_RELEASE (public strip release, 31 cols) —
     * lib/utils.py:297-329; long names are the release layer's public
     * aliases (e.g. VALID_DENS → VALID_AREA_MATCHTAG_DENSITY). */
   val stripRelease: Seq[FieldDef] = Seq(

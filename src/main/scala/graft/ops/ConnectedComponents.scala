@@ -80,10 +80,13 @@ object ConnectedComponents {
 
   /** Terminal star forests at or under this many edges are collected to the
     * driver so the last round's localCheckpoint can be freed before
-    * returning (≤ ~32 MB of (Long, Long) tuples). One label per non-root
-    * PAIRED node — orders of magnitude below the corpus.
+    * returning. Real JVM footprint is object-headed, not payload-sized: 1M
+    * boxed (Long, Long) tuples plus the root-dedup array is on the order of
+    * ~100 MB transient — hence the cutoff sits at 1M, not "what fits as raw
+    * longs". One label per non-root PAIRED node — orders of magnitude below
+    * the corpus.
     */
-  val TerminalCollectCutoff = 2000000L
+  val TerminalCollectCutoff = 1000000L
 
   /** (node, component) for every node that appears in `pairs` (two columns:
     * endpoints of an undirected edge; self-loops ignored). `component` is the
@@ -94,11 +97,44 @@ object ConnectedComponents {
     */
   def components(pairs: DataFrame, smallCutoff: Long = SmallCutoff): DataFrame = {
     val Seq(a, b) = pairs.columns.toSeq.take(2).map(col)
-    var edges = pairs
+    val edges0 = pairs
       .select(greatest(a, b).as("u"), least(a, b).as("v"))
       .where(col("u") =!= col("v"))
       .distinct()
-      .localCheckpoint()
+    // Small-graph probe (round 6): ONE take(cutoff + 1) action replaces the
+    // old checkpoint + digest + collect sequence (3 sequential driver jobs)
+    // on the small path; take() stops scanning once it has cutoff + 1 rows,
+    // so the big-graph case pays at most one cheap partial pass before the
+    // distributed rounds. ≤ cutoff rows returned ⇒ that IS the complete
+    // distinct edge set.
+    if (smallCutoff > 0 &&
+        edges0.schema.fields.forall(_.dataType ==
+          org.apache.spark.sql.types.LongType)) {
+      val spark = pairs.sparkSession
+      import spark.implicits._
+      val cut = math.min(smallCutoff, Int.MaxValue - 1L).toInt
+      val es = edges0.as[(Long, Long)].take(cut + 1)
+      if (es.length <= cut) {
+        // union-find, min-root union: roots only merge downward, so each
+        // root IS the minimum id of its component — the distributed label
+        val parent = scala.collection.mutable.HashMap.empty[Long, Long]
+        def find(x: Long): Long = {
+          var r = x
+          while (parent.getOrElse(r, r) != r) r = parent(r)
+          var c = x // path compression
+          while (parent.getOrElse(c, c) != c) { val n = parent(c); parent(c) = r; c = n }
+          r
+        }
+        es.foreach { case (u, v) =>
+          val ru = find(u); val rv = find(v)
+          if (ru != rv) { if (ru < rv) parent(rv) = ru else parent(ru) = rv }
+        }
+        val out = es.iterator.flatMap { case (u, v) => Iterator(u, v) }
+          .toArray.distinct.map(n => (n, find(n))).toSeq
+        return spark.createDataset(out).toDF("node", "component")
+      }
+    }
+    var edges = edges0.localCheckpoint()
     // fixed-point check on a canonical multiset digest: one cheap aggregate
     // instead of a two-way anti-join per round. A digest collision could only
     // stop one round early, and the terminal star forest is itself a fixed
@@ -113,37 +149,9 @@ object ConnectedComponents {
       ).head()
       (r.getLong(0), String.valueOf(r.get(1)))
     }
-    // the initial digest doubles as the short-circuit sizing — ONE action
-    // covers both decisions (no separate count job on the distributed path)
-    val d0 = digest(edges)
-    if (smallCutoff > 0 && d0._1 <= smallCutoff &&
-        edges.schema.fields.forall(_.dataType ==
-          org.apache.spark.sql.types.LongType)) {
-      val spark = pairs.sparkSession
-      import spark.implicits._
-      val es = edges.as[(Long, Long)].collect()
-      Session.freeLocalCheckpoint(edges)
-      // union-find, min-root union: roots only merge downward, so each
-      // root IS the minimum id of its component — the distributed label
-      val parent = scala.collection.mutable.HashMap.empty[Long, Long]
-      def find(x: Long): Long = {
-        var r = x
-        while (parent.getOrElse(r, r) != r) r = parent(r)
-        var c = x // path compression
-        while (parent.getOrElse(c, c) != c) { val n = parent(c); parent(c) = r; c = n }
-        r
-      }
-      es.foreach { case (u, v) =>
-        val ru = find(u); val rv = find(v)
-        if (ru != rv) { if (ru < rv) parent(rv) = ru else parent(ru) = rv }
-      }
-      val out = es.iterator.flatMap { case (u, v) => Iterator(u, v) }
-        .toArray.distinct.map(n => (n, find(n))).toSeq
-      return spark.createDataset(out).toDF("node", "component")
-    }
     var converged = false
     var rounds = 0
-    var prevDigest = d0 // carried forward: one digest action/round
+    var prevDigest = digest(edges) // carried forward: one digest action/round
     while (!converged && rounds < MaxRounds) {
       rounds += 1
       val next = smallStar(largeStar(edges)).localCheckpoint()
@@ -173,9 +181,24 @@ object ConnectedComponents {
       import spark.implicits._
       val es = edges.as[(Long, Long)].collect()
       Session.freeLocalCheckpoint(edges)
-      val out = (es.iterator.map { case (u, v) => (u, v) } ++
-        es.iterator.map { case (_, v) => (v, v) }).toArray.distinct.toSeq
-      spark.createDataset(out).toDF("node", "component")
+      // leaf edges are (leaf > root) with unique leaves, so only the ROOT
+      // self-labels need dedup — primitive sort + in-place unique, no boxed
+      // tuple hash set
+      val roots = es.map(_._2)
+      java.util.Arrays.sort(roots)
+      var n = 0
+      var i = 0
+      while (i < roots.length) {
+        if (n == 0 || roots(n - 1) != roots(i)) { roots(n) = roots(i); n += 1 }
+        i += 1
+      }
+      val out = es.iterator ++ roots.iterator.take(n).map(r => (r, r))
+      // parallelize, don't createDataset: a LocalRelation would embed every
+      // label row in the returned LOGICAL plan (copied on each transform)
+      spark.createDataset(
+        spark.sparkContext.parallelize(out.toSeq,
+          math.max(1, math.min(64, (es.length / 65536) + 1))))
+        .toDF("node", "component")
     } else
       edges.select(col("u").as("node"), col("v").as("component"))
         .unionByName(edges.select(col("v").as("node"), col("v").as("component")))

@@ -2,9 +2,6 @@ package graft.ops
 
 import org.apache.spark.sql.{Column, DataFrame, Observation}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.expressions.UserDefinedFunction
-import graft.cells.Cells
-import graft.geom.Geom
 import org.apache.spark.sql.graft.CellExpressions
 
 /** Cell-partitioned point-in-polygon join.
@@ -37,9 +34,13 @@ object PipJoin {
   def pipContains(ring: Column, px: Column, py: Column): Column =
     CellExpressions.st_contains(ring, px, py)
 
-  private val coverUdf: UserDefinedFunction =
-    udf((ring: Seq[Double], level: Int) =>
-      Cells.coverRing(ring.toArray, level).map { case (c, in) => (c, in) })
+  /** Cover cells of a ring at a level as a codegen expression — ONE
+    * implementation of the cover math for both the library operators below
+    * and the [[org.apache.spark.sql.graft.PipJoinRewrite]] rule (round 6:
+    * replaced the Scala `coverUdf` that drifted alongside it; PlanSpec
+    * asserts the shelve plan is UDF-free). */
+  private def coverCol(ring: Column, level: Int): Column =
+    CellExpressions.cover_cells(ring, level)
 
   /** Sentinel `level` value: derive the cover level from the polygon side's
     * extent stats via [[pickCoverLevel]]. */
@@ -97,9 +98,9 @@ object PipJoin {
     val lvl = if (level == AutoLevel) pickCoverLevel(polys, ring) else level
     val covered = polys
       .select(col(polyId), col(ring).as("__ring"))
-      .withColumn("__cov", explode(coverUdf(col("__ring"), lit(lvl))))
+      .withColumn("__cov", explode(coverCol(col("__ring"), lvl)))
       .select(col(polyId), col("__ring"),
-        col("__cov._1").as("__cell"), col("__cov._2").as("__interior"))
+        col("__cov.cell").as("__cell"), col("__cov.interior").as("__interior"))
     val polySide = broadcastPolys match {
       case Some(true) => broadcast(covered)
       case _          => covered
@@ -142,9 +143,9 @@ object PipJoin {
     val lvl = if (level == AutoLevel) pickCoverLevel(polys, ring) else level
     val covered = polys
       .select(col(polyId), col(ring).as("__ring"))
-      .withColumn("__cov", explode(coverUdf(col("__ring"), lit(lvl))))
+      .withColumn("__cov", explode(coverCol(col("__ring"), lvl)))
       .select(col(polyId), col("__ring"),
-        col("__cov._1").as("__cell"), col("__cov._2").as("__interior"))
+        col("__cov.cell").as("__cell"), col("__cov.interior").as("__interior"))
     val byCell = covered.groupBy("__cell")
       .agg(collect_list(struct(col(polyId).as("pid"), col("__ring").as("ring"),
         col("__interior").as("interior"))).as("__cands"))

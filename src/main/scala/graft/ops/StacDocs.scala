@@ -55,24 +55,31 @@ object StacDocs {
     val canonical = release.filter(col("license") === "public")
       .select(concat(col("project"), lit("-strips-s2s041-2m")).as("collection"),
         col("dem_id").as("item_id"), col("dem_id"), col("stripdemid"))
-    // href_parts CTE: link paths need the geocell from strip_dem_all
-    val hrefParts = canonical
-      .join(stripAll.select("dem_id", "stripdemid", "geocell"),
-        Seq("dem_id", "stripdemid"), "left")
-      .select(col("collection"), col("item_id"),
-        concat(concat_ws("/",
-          lit("https://opendata.example.org"),
-          element_at(split(col("collection"), "-"), 1), // domain
-          element_at(split(col("collection"), "-"), 2), // kind
-          element_at(split(col("collection"), "-"), 3), // release version
-          element_at(split(col("collection"), "-"), 4), // resolution
-          col("geocell"), col("item_id")), lit(".json")).as("self_href"))
+    // href_parts (the reference's links CTE chain): link paths need the
+    // geocell from strip_dem_all. The reference materializes href_parts as
+    // its own canonical⟕strip_dem_all join and joins it BACK on the
+    // (collection, item_id) key because its links/assets CTEs reuse the
+    // derived fields many times; here self_href is consumed exactly once, so
+    // it computes INLINE from the main join's own geocell — same rows (the
+    // join-back key (collection, item_id) ⇐ the unique dem_id of the release
+    // row, per the view's own NOTE, re-attaches precisely the geocell this
+    // row already carries) and one less shuffle join, with the strip_dem_all
+    // subtree (scan + anti-join + union) evaluated once instead of twice.
+    // Round 6 (guide §2.4): before this, q_stac_assembly planned 2
+    // evaluations of stripAll and 4 joins; oracle hash unchanged.
+    val selfHref = concat(concat_ws("/",
+      lit("https://opendata.example.org"),
+      element_at(split(col("collection"), "-"), 1), // domain
+      element_at(split(col("collection"), "-"), 2), // kind
+      element_at(split(col("collection"), "-"), 3), // release version
+      element_at(split(col("collection"), "-"), 4), // resolution
+      col("geocell"), col("item_id")), lit(".json"))
     val primaryAsset = assetInfo.filter(col("asset_key") === "dem")
       .select(col("collection"), col("item_id"), col("gsd"), col("proj_code"))
     canonical
       .join(stripAll, Seq("dem_id", "stripdemid"), "left")
       .join(primaryAsset, Seq("collection", "item_id"), "left")
-      .join(hrefParts, Seq("collection", "item_id"), "left")
+      .withColumn("self_href", selfHref)
       .select(col("collection"), col("item_id"),
         to_json(struct(
           col("item_id").as("id"),

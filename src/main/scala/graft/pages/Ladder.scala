@@ -194,9 +194,10 @@ object Ladder {
     val base = scenes(spark, sfDir)
       .withColumn("__k", expr("CAST(substring(scenedemid, 3) AS BIGINT)"))
       .filter(col("__k") % 3 =!= 0 || col("__k") % 6 === 0)
-    val copies = base.crossJoin(
-      spark.range(0, 2).toDF("__c"))
-    copies
+    // two copies per row via a narrow explode — the old crossJoin with
+    // spark.range(0, 2) planned a BroadcastNestedLoopJoin (+ broadcast
+    // exchange) for what is a per-row duplication (round 6); same rows
+    base.withColumn("__c", explode(array(lit(0L), lit(1L))))
       .withColumn("location",
         concat(lit("/stage/"), ((col("__k") + col("__c")) % 2).cast("string")))
       .drop("__k", "__c")

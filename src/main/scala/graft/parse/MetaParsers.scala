@@ -54,6 +54,11 @@ object MetaParsers {
     * field is a bug being faithfully reproduced, not a semantic; the
     * q_strip_meta_parse oracle bakes the stored value in.
     */
+  // precompiled split patterns (String.split recompiles multi-char patterns
+  // on every call — per line, per row, on the UDF hot path)
+  private val ColonSp = java.util.regex.Pattern.compile(": ", java.util.regex.Pattern.LITERAL)
+  private val Ws = java.util.regex.Pattern.compile("\\s+")
+
   def parseStripMeta(text: String): StripMeta = {
     val header = scala.collection.mutable.Map[String, String]()
     val scenes = scala.collection.mutable.ArrayBuffer[scala.collection.mutable.Map[String, String]]()
@@ -72,11 +77,11 @@ object MetaParsers {
             // the reference's `key,val = l.split(': ')` RAISES on a second
             // ': ' occurrence and stores nothing (dem.py:1503-1506 logs and
             // skips) — mirror the skip, don't keep a first-separator split
-            val parts = l.split(": ", -1)
+            val parts = ColonSp.split(l, -1)
             if (parts.length == 2 && parts(0).trim.nonEmpty)
               header(parts(0).trim) = parts(1).trim
           } else if (l.contains(".tif ")) {
-            val stats = l.split("\\s+")
+            val stats = Ws.split(l)
             alignment(stripExt(stats(0))) = stats.toSeq.tail
           } else if (l.contains("Strip Metadata")) {
             Patterns.s2sVersion.findPrefixMatchOf(l) match {
@@ -135,11 +140,19 @@ object MetaParsers {
   /** S9 — reg.txt parser (/root/reference/lib/dem.py:1126-1144):
     * `Translation Vector (dz,dx,dy)(m)= z, x, y`, GCP count, mean residual.
     */
+  // compiled ONCE (object init), not per parsed row: these parsers run as
+  // per-row UDFs over the whole table, and java.util.regex.Pattern.compile
+  // inside the call was a measurable fraction of the parse stage
+  private val RegVec =
+    """Translation Vector \(dz,dx,dy\)\(m\)\s*=\s*([-\d.]+),\s*([-\d.]+),\s*([-\d.]+)""".r
+  private val RegGcps = """# GCPs\s*=\s*(\d+)""".r
+  private val RegRms = """Mean Vertical Residual \(m\)\s*=\s*([-\d.]+)""".r
+
   def parseReg(text: String): Map[String, Double] = {
     val out = scala.collection.mutable.Map[String, Double]()
-    val vec = """Translation Vector \(dz,dx,dy\)\(m\)\s*=\s*([-\d.]+),\s*([-\d.]+),\s*([-\d.]+)""".r
-    val gcps = """# GCPs\s*=\s*(\d+)""".r
-    val rms = """Mean Vertical Residual \(m\)\s*=\s*([-\d.]+)""".r
+    val vec = RegVec
+    val gcps = RegGcps
+    val rms = RegRms
     vec.findFirstMatchIn(text).foreach { m =>
       out("dz") = m.group(1).toDouble
       out("dx") = m.group(2).toDouble

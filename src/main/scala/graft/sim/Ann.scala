@@ -161,8 +161,14 @@ object Ann {
   def lshPairsBanded(vecs: DataFrame, threshold: Double,
                      bands: Int = PairBands,
                      planes: Int = PairBandPlanes): DataFrame = {
+    // pin the keyed table: the multi-band form is a union of `bands`
+    // self-joins whose sides rename columns, so NOTHING reuses across the
+    // 2·bands plan references — unpinned, the quantize + bands·planes·Dim
+    // dot-product key derivation re-ran 12× at the 6×6 default (same
+    // rationale as TextOps.simhashPairs' pinned signatures)
     val withKeys = (0 until bands).foldLeft(prepared(vecs))((df, b) =>
       df.withColumn(s"k$b", pairBandKey(b, planes)))
+      .localCheckpoint()
     def side(tag: String): DataFrame =
       withKeys.select(
         col("vec_id").as(s"id_$tag") +: col("em").as(s"em_$tag") +:

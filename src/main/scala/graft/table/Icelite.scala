@@ -493,6 +493,7 @@ object Icelite {
                             nBuckets: Int, schemaJson: String): Seq[SegmentRef] = {
     val base = math.max(1, nBuckets)
     val numericCols = numericColsOf(schemaJson)
+    val eligibleCols = eligibleColsOf(schemaJson)
     // Sliced (hash-claim) entries segment BY BASE BUCKET: the grouping is
     // stable across merges, so untouched buckets content-address to the same
     // segment file (commit metadata O(changed buckets)). Their aggregated
@@ -528,7 +529,8 @@ object Icelite {
           try Files.writeString(p, body, StandardOpenOption.CREATE_NEW)
           catch { case _: java.nio.file.FileAlreadyExistsException => () }
         }
-        SegmentRef(name, sorted.map(_.rows).sum, aggBounds(sorted, numericCols))
+        SegmentRef(name, sorted.map(_.rows).sum,
+          aggBounds(sorted, numericCols, eligibleCols))
       }
   }
 
@@ -546,16 +548,37 @@ object Icelite {
         }.toSet
     } catch { case scala.util.control.NonFatal(_) => Set.empty }
 
+  /** Columns stats-eligible under the persisted schema (same type rules as
+    * [[statsEligible]]: string or numeric). An empty/unparseable schema
+    * yields the empty set — no list-level stats, never unsound pruning. */
+  private def eligibleColsOf(schemaJson: String): Set[String] =
+    if (schemaJson.isEmpty) Set.empty
+    else try {
+      org.apache.spark.sql.types.DataType.fromJson(schemaJson)
+        .asInstanceOf[org.apache.spark.sql.types.StructType]
+        .fields.collect {
+          case f if f.dataType == org.apache.spark.sql.types.StringType ||
+            f.dataType.isInstanceOf[org.apache.spark.sql.types.NumericType] => f.name
+        }.toSet
+    } catch { case scala.util.control.NonFatal(_) => Set.empty }
+
   /** Per-column zone map over a segment's entries: a column is bounded only
     * when every entry bounds it (one stat-less file makes the segment's
     * content unknowable for that column — absent stats = never pruned, same
     * contract as the file level). Numeric columns aggregate by numeric value
     * but keep the ORIGINAL bound strings (re-rendering could round);
-    * unparseable numeric bounds (NaN/Infinity) drop the column. */
-  private def aggBounds(fs: Seq[FileEntry],
-                        numericCols: Set[String]): Map[String, (String, String)] = {
+    * unparseable numeric bounds (NaN/Infinity) drop the column.
+    *
+    * Only columns stats-eligible under the CURRENT schema aggregate
+    * (`eligibleCols`): merge-kept entries can carry stats for a column that
+    * was since dropped or re-typed, and aggregating such a column as UTF-8
+    * while a reader compares its bounds numerically could unsoundly prune a
+    * segment (silent row loss). Absent list-level stats are always safe. */
+  private def aggBounds(fs: Seq[FileEntry], numericCols: Set[String],
+                        eligibleCols: Set[String]): Map[String, (String, String)] = {
     if (fs.isEmpty) return Map.empty
     val cols = fs.map(_.stats.keySet).reduce(_ intersect _)
+      .intersect(eligibleCols)
     cols.iterator.flatMap { c =>
       val bs = fs.map(_.stats(c))
       if (numericCols(c))

@@ -342,18 +342,22 @@ object TextOps {
     * materializes pairs; document bodies never shuffle.
     */
   def boilerplate(docs: DataFrame, minDf: Int = 5): DataFrame = {
-    val ex = docs.select(col("doc_id"),
-      explode(array_distinct(shingleHashes(col("text"), 3))).as("s"))
+    // n_sh is the size of the per-row DISTINCT shingle array — computed
+    // narrowly in the scan, NOT as a count-over-explode aggregate: the old
+    // `tot` groupBy was a whole extra shuffle + join + kernel pass for a
+    // number already sitting in the row (round 6, guide §2.4; identical
+    // values — explode of an empty array emits nothing, so the old left
+    // join's null coalesced to the same 0 this size() yields)
+    val withSh = docs.select(col("doc_id"),
+      array_distinct(shingleHashes(col("text"), 3)).as("__sh"))
+    val ex = withSh.select(col("doc_id"), explode(col("__sh")).as("s"))
     val boiler = ex.groupBy("s").agg(count(lit(1)).as("__df"))
       .filter(col("__df") >= minDf).select("s")
     val per = ex.join(boiler, Seq("s"))
       .groupBy("doc_id").agg(count(lit(1)).as("n_boiler"))
-    val tot = ex.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
-    docs.select(col("doc_id"))
-      .join(tot, Seq("doc_id"), "left")
+    withSh.select(col("doc_id"), size(col("__sh")).cast("long").as("n_sh"))
       .join(per, Seq("doc_id"), "left")
-      .select(col("doc_id"),
-        coalesce(col("n_sh"), lit(0L)).as("n_sh"),
+      .select(col("doc_id"), col("n_sh"),
         coalesce(col("n_boiler"), lit(0L)).as("n_boiler"))
       .withColumn("boiler_ratio",
         when(col("n_sh") > 0,
@@ -697,44 +701,102 @@ object TextOps {
     voted.select(col("doc_id"), sim.as("simhash"))
   }
 
+  /** Bounded per-shingle postings collector backing [[jaccardPairs]]'s
+    * df-cut: keeps up to `cap` (doc_id, n_sh) postings per shingle as a flat
+    * Array[Long] (primitive unsafe-array encoder across the shuffle — the
+    * [[graft.ops.TopK.TopKAgg]] pattern) plus the EXACT total document
+    * frequency. Groups over the df-cut stop storing but keep counting, so
+    * memory per group is bounded by the cut at any corpus size while every
+    * surviving group's posting list is complete (df ≤ cap ⇒ nothing was
+    * dropped).
+    *
+    * Buffer layout: [0] = total df, [1] = stored postings, then
+    * (doc_id, n_sh) pairs; grows by doubling.
+    */
+  private[text] class DfCollect(cap: Int)(implicit
+      bufEnc: org.apache.spark.sql.Encoder[Array[Long]],
+      outEnc: org.apache.spark.sql.Encoder[(Long, Seq[(Long, Long)])])
+      extends org.apache.spark.sql.expressions.Aggregator[
+        (Long, Long), Array[Long], (Long, Seq[(Long, Long)])] {
+    override def zero: Array[Long] = Array(0L, 0L)
+    private def append(b: Array[Long], d: Long, n: Long): Array[Long] = {
+      val used = b(1).toInt
+      val need = 2 + 2 * used + 2
+      val nb = if (b.length < need)
+        java.util.Arrays.copyOf(b, math.max(need, b.length * 2)) else b
+      nb(2 + 2 * used) = d; nb(3 + 2 * used) = n; nb(1) = used + 1
+      nb
+    }
+    override def reduce(b: Array[Long], e: (Long, Long)): Array[Long] = {
+      val nb = if (b(1) < cap) append(b, e._1, e._2) else b
+      nb(0) += 1
+      nb
+    }
+    override def merge(a: Array[Long], b: Array[Long]): Array[Long] = {
+      var r = a
+      val bu = b(1).toInt
+      var i = 0
+      while (i < bu && r(1) < cap) { r = append(r, b(2 + 2 * i), b(3 + 2 * i)); i += 1 }
+      r(0) += b(0)
+      r
+    }
+    override def finish(b: Array[Long]): (Long, Seq[(Long, Long)]) =
+      (b(0), (0 until b(1).toInt).map(i => (b(2 + 2 * i), b(3 + 2 * i))))
+    override def bufferEncoder: org.apache.spark.sql.Encoder[Array[Long]] = bufEnc
+    override def outputEncoder: org.apache.spark.sql.Encoder[(Long, Seq[(Long, Long)])] = outEnc
+  }
+
   /** N-gram Jaccard near-dup pairs: distinct 3-shingles per doc, candidate
     * pairs = docs sharing >= 1 shingle, Jaccard = |∩| / |∪| with a
-    * threshold. One shuffle on shingle hash (uniform), one pair aggregate.
+    * threshold. ONE shuffle on the 8-byte shingle hash (uniform), one pair
+    * aggregate.
     *
     * Scale: the shingle self-join explodes on ultra-common shingles; cap
     * candidate generation by dropping shingles shared by more than
     * `maxShingleDf` docs (standard df-cut used by near-dup pipelines —
     * ultra-common shingles carry no discriminative signal).
+    *
+    * Round 6 (guide §2.4, remove shuffles outright): the old form shuffled
+    * the exploded (doc, shingle) table TWICE — once into the df-count
+    * aggregate and once into the equi-join back — and fed a third exchange
+    * pair into the s-keyed self-join. This form groups postings per shingle
+    * in ONE bounded-buffer aggregate ([[DfCollect]], map-side combinable),
+    * applies the df-cut on the exact count, and generates the same candidate
+    * multiset with two in-row explodes (no further shuffle until the pair
+    * aggregate). Per-shingle skew profile is unchanged: a hot shingle's df²
+    * candidates were all on one join key before and are in one row's
+    * explode now, bounded either way by the df-cut.
     */
   def jaccardPairs(docs: DataFrame, threshold: Double = 0.2,
                    maxShingleDf: Int = 1000): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
     // shuffle 8-byte shingle hashes, never shingle strings (at 100 TB the
     // strings would dominate the shuffle); set semantics via array_distinct
     // over the kernel-hashed shingle array
     val withSh = docs.select(col("doc_id"),
       array_distinct(shingleHashes(col("text"), 3)).as("sh"))
-      .withColumn("n_sh", size(col("sh")))
+      .withColumn("n_sh", size(col("sh")).cast("long"))
     val exploded = withSh.select(col("doc_id"), col("n_sh"), explode(col("sh")).as("s"))
-    // df-cut as a map-side-combinable aggregate + equi-join back — NOT a
-    // window: `count over (partition by s)` sorts every shingle occurrence,
-    // which is the scale-killer at 100 TB. The aggregate also prunes
-    // singleton shingles (df < 2 can't form a pair), shrinking the
-    // self-join input with zero semantic change.
-    val keep = exploded.groupBy("s")
-      .agg(count(lit(1)).as("__df"))
-      .filter(col("__df") >= 2 && col("__df") <= maxShingleDf)
-      .select("s")
-    val pruned = exploded.join(keep, Seq("s"))
-    val a = pruned.as("a"); val b = pruned.as("b")
-    a.join(b, col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id"))
-      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
-        col("a.n_sh").as("n_a"), col("b.n_sh").as("n_b"))
+    val dfc = udaf(new DfCollect(maxShingleDf))
+    val postings = exploded.groupBy("s")
+      .agg(dfc(col("doc_id"), col("n_sh")).as("r"))
+      // df-cut on the exact total (also prunes singleton shingles — df < 2
+      // can't form a pair — with zero semantic change)
+      .filter(col("r._1") >= 2 && col("r._1") <= maxShingleDf)
+      .select(col("r._2").as("ds"))
+    val cand = postings
+      .select(explode(col("ds")).as("a"), col("ds"))
+      .select(col("a"), explode(col("ds")).as("b"))
+      .filter(col("a._1") < col("b._1"))
+    cand.groupBy(col("a._1").as("doc_a"), col("b._1").as("doc_b"),
+        col("a._2").as("n_a"), col("b._2").as("n_b"))
       .agg(count(lit(1)).as("n_inter"))
       .withColumn("jaccard",
         col("n_inter").cast("double") / (col("n_a") + col("n_b") - col("n_inter")))
       .filter(col("jaccard") >= threshold)
       .select(col("doc_a"), col("doc_b"), col("n_inter"),
-        col("n_a").cast("long").as("n_a"), col("n_b").cast("long").as("n_b"),
+        col("n_a").as("n_a"), col("n_b").as("n_b"),
         col("jaccard"))
   }
 }

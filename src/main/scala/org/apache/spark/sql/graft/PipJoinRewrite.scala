@@ -45,7 +45,9 @@ import org.apache.spark.sql.catalyst.rules.Rule
   * ([[graft.ops.PipJoin.pickCoverLevel]] over the polygon subplan; the
   * polygon side is the dim table, so the planning-time aggregation is one
   * narrow pass over thousands of rows, the same driver-side steering pattern
-  * as KnnJoin.pickLevel). Default 6.
+  * as KnnJoin.pickLevel). Default `auto` (round 6): a fixed level is wrong
+  * at both extent extremes, and the extent-derived pick is the whole point
+  * of the mechanism — set an integer only to pin a measurement.
   * Runs inside the operator-optimization batch, so pushdown/broadcast
   * selection apply to the rewritten plan in the same fixed point; the
   * rewritten join has no PipContains in its condition, so the rule cannot
@@ -62,7 +64,7 @@ object PipJoinRewrite extends Rule[LogicalPlan] {
     * the polygon subplan (fail-safe to the default on any planning error —
     * a level choice must never fail the query, it only shifts cost). */
   private def coverLevel(polySide: LogicalPlan, ring: Expression): Int = {
-    val confVal = conf.getConfString("spark.graft.pip.level", "6")
+    val confVal = conf.getConfString("spark.graft.pip.level", "auto")
     if (confVal != "auto") return confVal.toInt
     try {
       val session = org.apache.spark.sql.classic.SparkSession.getActiveSession

@@ -80,6 +80,15 @@ class PlanSpec extends SparkSpec {
     assert(!plan.contains("UDF("))
   }
 
+  test("pip shelve plan contains no Scala UDF (cover cells are the codegen kernel)") {
+    // round 6: PipJoin.join/shelve unified on the CoverCells expression —
+    // the Scala coverUdf (two implementations of the same cover math) is gone
+    val plan = planOf(SparkEntry.queries("q_pip_shelve")(spark, Sf))
+    assert(!plan.contains("UDF("), s"shelve must be UDF-free:\n${plan.take(1500)}")
+    assert(plan.contains("cover_cells") || plan.contains("covercells"),
+      s"cover cells must be the kernel expression:\n${plan.take(1500)}")
+  }
+
   test("knn ring-slab explode contains no Scala UDF (per-round loop path)") {
     import org.apache.spark.sql.graft.CellExpressions
     val pts = Pages.fromDocuments(spark, Sf)

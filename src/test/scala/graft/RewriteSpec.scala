@@ -127,7 +127,7 @@ class RewriteSpec extends AnyFunSuite {
         } yield (pid, name)).toSet
         assert(got === expected)
         assert(expected.nonEmpty)
-      } finally spark.conf.set("spark.graft.pip.level", "6")
+      } finally spark.conf.unset("spark.graft.pip.level")
     }
   }
 
