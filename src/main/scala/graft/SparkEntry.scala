@@ -1144,16 +1144,23 @@ object SparkEntry {
         lpad(((k * 7) % 100000).cast("string"), 16, "0"), lit("_"),
         (lit(1) + k % 8).cast("string"), lit("m-dem.tif"))
       val pat = graft.parse.MetaParsers.Patterns.asp.pattern.pattern()
-      o.select(k.as("okey"),
-        regexp_extract(fn, pat, 1).as("pairname"),
-        regexp_extract(fn, pat, 2).as("sensor"),
-        to_date(regexp_extract(fn, pat, 3), "yyyyMMdd").cast("string").as("acqdate"),
-        regexp_extract(fn, pat, 4).as("catalogid1"),
-        regexp_extract(fn, pat, 5).as("catalogid2"),
-        regexp_replace(regexp_extract(fn, pat, 6), "m$", "").cast("double").as("dem_res"),
-        lit("ASP").as("algm_ver"),
-        regexp_replace(fn, "-dem\\.tif$", "").as("overlap"),
-        lit(0).as("status"))
+      // round 6: ONE matcher pass extracts every group (regexp_groups kernel,
+      // group-for-group regexp_extract semantics) instead of six
+      // regexp_extract calls each re-running the full match per row; the
+      // two-step select keeps the array a non-collapsible alias so the
+      // kernel evaluates once
+      val g = org.apache.spark.sql.graft.TextExpressions.regexp_groups(fn, pat)
+      o.select(k.as("okey"), fn.as("__fn"), g.as("__g"))
+        .select(col("okey"),
+          element_at(col("__g"), 1).as("pairname"),
+          element_at(col("__g"), 2).as("sensor"),
+          to_date(element_at(col("__g"), 3), "yyyyMMdd").cast("string").as("acqdate"),
+          element_at(col("__g"), 4).as("catalogid1"),
+          element_at(col("__g"), 5).as("catalogid2"),
+          regexp_replace(element_at(col("__g"), 6), "m$", "").cast("double").as("dem_res"),
+          lit("ASP").as("algm_ver"),
+          regexp_replace(col("__fn"), "-dem\\.tif$", "").as("overlap"),
+          lit(0).as("status"))
     })
   )
 

@@ -154,7 +154,10 @@ object KnnJoin {
               qId: String, pId: String, k: Int,
               levelOverride: Option[Int] = None,
               maxRounds: Int = 3, bruteThreshold: Long = 50000000L): DataFrame = {
-    val level = levelOverride
+    // by-name into knn: the level (and the pickLevel sampling pass behind
+    // it) is only paid when the ring machinery actually runs — the up-front
+    // self-join brute short-circuit inside knn skips it entirely
+    def level: Int = levelOverride
       .orElse(sys.env.get("GRAFT_KNN_LEVEL").map { v =>
         val l = try v.trim.toInt catch {
           case _: NumberFormatException => throw new IllegalArgumentException(
@@ -189,23 +192,46 @@ object KnnJoin {
     * late ring rounds.
     */
   def knn(spark: SparkSession, queries: DataFrame, points: DataFrame,
-          qId: String, pId: String, k: Int, level: Int = 6,
+          qId: String, pId: String, k: Int, level: => Int = 6,
           maxRounds: Int = 3, bruteThreshold: Long = 50000000L): DataFrame = {
-    val cellH = 180000L >> level // cell height in millidegrees (lat axis)
     val selfJoin = queries eq points
     // exclude self-matches only when joining a set against itself
     def notSelf(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
       if (selfJoin) c else lit(true)
 
-    val pts = points
+    val pts0 = points
       .select(col(pId).as("neighbor_id"), col("lonm").as("p_lonm"), col("latm").as("p_latm"))
-      .withColumn("__pcell", org.apache.spark.sql.graft.CellExpressions.cell_at(col("p_lonm") / 1000.0, col("p_latm") / 1000.0, level))
       .cache()
-    val nPts = pts.count() // materialize once; probed every round
+    val nPts = pts0.count() // materialize once; probed every round
+
+    // Up-front brute short-circuit for the SELF-join (round 6): |Q| = |P| is
+    // known from the one count just paid, so when |P|² fits under
+    // bruteThreshold the ring machinery — level sampling, per-round
+    // checkpoints and counts, ~7 sequential driver jobs — costs more than
+    // the single broadcast-brute pass the in-loop short-circuit would reach
+    // anyway. Same exact result (the brute pass IS the oracle's window
+    // form); the 600k-point bench shape (|P|² ≫ threshold) is untouched, as
+    // is the non-self join (|Q| unknown without an extra action). Guarded
+    // against |P|² overflow.
+    if (selfJoin && nPts > 0 && nPts <= bruteThreshold / nPts) {
+      val brute = broadcast(pts0.select(col("neighbor_id").as("query_id"),
+          col("p_lonm").as("q_lonm"), col("p_latm").as("q_latm")))
+        .crossJoin(pts0)
+        .filter(col("query_id") =!= col("neighbor_id"))
+        .select(col("query_id"), col("neighbor_id"),
+          dist2(col("q_lonm"), col("q_latm"), col("p_lonm"), col("p_latm")).as("d2"))
+      return TopK.topK(spark, brute, k)
+        .select(col("query_id"), col("neighbor_id"), col("d2").as("dist2"), col("rn"))
+    }
+
+    val lvl = level // force the by-name pick once: the rings need it
+    val cellH = 180000L >> lvl // cell height in millidegrees (lat axis)
+    val pts = pts0
+      .withColumn("__pcell", org.apache.spark.sql.graft.CellExpressions.cell_at(col("p_lonm") / 1000.0, col("p_latm") / 1000.0, lvl))
 
     var remaining = queries
       .select(col(qId).as("query_id"), col("lonm").as("q_lonm"), col("latm").as("q_latm"))
-      .withColumn("__qcell", org.apache.spark.sql.graft.CellExpressions.cell_at(col("q_lonm") / 1000.0, col("q_latm") / 1000.0, level))
+      .withColumn("__qcell", org.apache.spark.sql.graft.CellExpressions.cell_at(col("q_lonm") / 1000.0, col("q_latm") / 1000.0, lvl))
     val finishedParts = scala.collection.mutable.ArrayBuffer[DataFrame]()
     var carry: DataFrame = null // best-k-so-far of unfinished queries
     // geometric radius escalation (x4): the explored disk radius grows
@@ -218,7 +244,7 @@ object KnnJoin {
     // ranks to one neighbor. Capping at n/2 - 1 keeps every (dx, dy) offset
     // bijective with a wrapped cell; queries still unfinished at the cap go
     // to the exact brute pass.
-    val maxR = math.max(1, (Cells.cellsPerAxis(level) / 2 - 1).toInt)
+    val maxR = math.max(1, (Cells.cellsPerAxis(lvl) / 2 - 1).toInt)
     var prevR = -1 // round 1 explores the home cell plus ring 1
     var r = 1
     var rounds = 0

@@ -64,6 +64,20 @@ object TextOps {
 
   private val StopWords = Seq("the", "a", "of", "and", "to", "in", "is", "on")
 
+  /** The composite quality score as ONE expression over `text` — shared by
+    * [[qualityScore]] and [[corpusSelect]]'s single-pass scorecard so the
+    * two can never drift. */
+  private def qualityScoreExpr: Column = {
+    val toks = tokens(col("text"))
+    val nTok = size(toks)
+    val nStop = size(filter(toks, w => w.isin(StopWords: _*)))
+    val nPunct = regexp_count(col("text"), lit("[^a-zA-Z0-9 ]"))
+    val textLen = length(col("text"))
+    round((nStop.cast("double") / nTok) * 2.0
+      - (nPunct.cast("double") / textLen) * 5.0
+      + when(nTok.cast("long") >= 10 && nTok.cast("long") <= 1000, 1.0).otherwise(0.0), 6)
+  }
+
   /** Quality scoring: length, token stats, stopword ratio, punctuation
     * ratio, and a composite score (the length/punct/stopword heuristic
     * family used by web-corpus quality filters).
@@ -80,35 +94,50 @@ object TextOps {
       nTok.cast("long").as("n_tokens"),
       (nStop.cast("double") / nTok).as("stopword_ratio"),
       (nPunct.cast("double") / textLen).as("punct_ratio"),
-      ((textLen - (nTok - 1)).cast("double") / nTok).as("avg_token_len"))
-      .withColumn("quality_score",
-        round(col("stopword_ratio") * 2.0 - col("punct_ratio") * 5.0
-          + when(col("n_tokens") >= 10 && col("n_tokens") <= 1000, 1.0).otherwise(0.0), 6))
+      ((textLen - (nTok - 1)).cast("double") / nTok).as("avg_token_len"),
+      qualityScoreExpr.as("quality_score"))
   }
 
   /** Language-ID heuristic: score each candidate language by its marker-word
     * hit count over the token list; argmax with fixed tie-break order.
     * (An n-gram/stopword profile classifier — the classic heuristic.)
     */
-  def langId(docs: DataFrame): DataFrame = {
-    val profiles: Seq[(String, Seq[String])] = Seq(
-      "en" -> Seq("the", "and", "of", "to", "is"),
-      "de" -> Seq("der", "die", "und", "ist", "das"),
-      "es" -> Seq("el", "la", "de", "que", "es"),
-      "fr" -> Seq("le", "la", "les", "est", "et"),
-      "zh" -> Seq("shi", "de", "le", "zai", "he"))
+  /** Language marker profiles (one copy — [[langId]] and [[corpusSelect]]'s
+    * single-pass scorecard both derive from these). */
+  private val LangProfiles: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "and", "of", "to", "is"),
+    "de" -> Seq("der", "die", "und", "ist", "das"),
+    "es" -> Seq("el", "la", "de", "que", "es"),
+    "fr" -> Seq("le", "la", "les", "est", "et"),
+    "zh" -> Seq("shi", "de", "le", "zai", "he"))
+
+  /** Per-language marker-hit score columns over `text` (to be aliased
+    * `s_<lang>` in a FIRST projection — the pred/argmax then references the
+    * attributes so each score evaluates once). */
+  private def langScoreCols: Seq[(String, Column)] = {
     val toks = tokens(col("text"))
-    val scored = docs.select(col("doc_id") +: profiles.map { case (l, ws) =>
-      size(filter(toks, w => w.isin(ws: _*))).as(s"s_$l")
-    }: _*)
-    // argmax via greatest + when-chain; leftmost language wins ties,
-    // all-zero -> 'und'
-    val maxScore = greatest(profiles.map(p => col(s"s_${p._1}")): _*)
-    val predLtr = profiles.foldLeft(Option.empty[Column]) {
+    LangProfiles.map { case (l, ws) =>
+      s"s_$l" -> size(filter(toks, w => w.isin(ws: _*)))
+    }
+  }
+
+  /** (predicted language, max score) over the `s_<lang>` attributes of a
+    * scored projection. Argmax via greatest + when-chain; leftmost language
+    * wins ties, all-zero -> 'und'. */
+  private def predLangFromScores: (Column, Column) = {
+    val maxScore = greatest(LangProfiles.map(p => col(s"s_${p._1}")): _*)
+    val pred = LangProfiles.foldLeft(Option.empty[Column]) {
       case (None, (l, _)) => Some(when(col(s"s_$l") === maxScore && maxScore > 0, lit(l)))
       case (Some(c), (l, _)) => Some(c.when(col(s"s_$l") === maxScore && maxScore > 0, lit(l)))
     }.get.otherwise(lit("und"))
-    scored.select(col("doc_id"), predLtr.as("pred_lang"),
+    (pred, maxScore)
+  }
+
+  def langId(docs: DataFrame): DataFrame = {
+    val scored = docs.select(col("doc_id") +:
+      langScoreCols.map { case (n, c) => c.as(n) }: _*)
+    val (pred, maxScore) = predLangFromScores
+    scored.select(col("doc_id"), pred.as("pred_lang"),
       maxScore.cast("long").as("score"))
   }
 
@@ -151,33 +180,45 @@ object TextOps {
     * Scale: signatures are computed per-row with array lambdas (narrow);
     * the bucket join shuffles on (band, key) which is md5-uniform.
     */
-  def minhashBands(docs: DataFrame): DataFrame = {
-    // per-row kernel: ONE call hashes the doc's shingle set and folds all 16
-    // permutation minima — no explode, no groupBy, no shuffle. The signature
-    // is null for docs with no shingles (they must not emit bands).
-    val sig = docs.select(col("doc_id"),
-        org.apache.spark.sql.graft.TextExpressions.minhash_sig(
-          shingleHashes(col("text"), 3), NumHashes).as("sig"))
-      .filter(col("sig").isNotNull)
+  /** The 16-permutation MinHash signature as one kernel expression over
+    * `text` (shared by [[minhashBands]] and [[corpusSelect]]'s scorecard). */
+  private def minhashSigExpr: Column =
+    org.apache.spark.sql.graft.TextExpressions.minhash_sig(
+      shingleHashes(col("text"), 3), NumHashes)
+
+  /** Band rows from a (doc_id, sig) frame (null sigs — docs with no
+    * shingles — must not emit bands). */
+  private def bandsOfSig(sigged: DataFrame): DataFrame = {
     val bands = (0 until NumHashes / BandRows).map { b =>
       struct(lit(b).as("band"),
         concat_ws("_", (0 until BandRows).map(r =>
           element_at(col("sig"), b * BandRows + r + 1)): _*).as("band_key"))
     }
-    sig.select(col("doc_id"), explode(array(bands: _*)).as("bk"))
+    sigged.filter(col("sig").isNotNull)
+      .select(col("doc_id"), explode(array(bands: _*)).as("bk"))
       .select(col("doc_id"), col("bk.band").cast("long").as("band"),
         col("bk.band_key").as("band_key"))
   }
 
-  /** Near-dup candidate pairs from the MinHash bands (a < b, distinct). */
-  def minhashPairs(docs: DataFrame): DataFrame = {
-    val bands = minhashBands(docs)
+  def minhashBands(docs: DataFrame): DataFrame =
+    // per-row kernel: ONE call hashes the doc's shingle set and folds all 16
+    // permutation minima — no explode, no groupBy, no shuffle
+    bandsOfSig(docs.select(col("doc_id"), minhashSigExpr.as("sig")))
+
+  /** Band-bucket self-join → candidate pairs (a < b, distinct). The two
+    * sides alias the SAME plan, so the bucket exchange is computed once and
+    * reused. */
+  private[text] def pairsOfBands(bands: DataFrame): DataFrame = {
     val a = bands.as("a"); val b = bands.as("b")
     a.join(b, col("a.band") === col("b.band") && col("a.band_key") === col("b.band_key")
       && col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       .distinct()
   }
+
+  /** Near-dup candidate pairs from the MinHash bands (a < b, distinct). */
+  def minhashPairs(docs: DataFrame): DataFrame =
+    pairsOfBands(minhashBands(docs))
 
   /** Incremental MinHash dedup against a persistent signature table — the
     * shape a 100 TB corpus actually runs: signatures are computed ONCE per
@@ -470,12 +511,30 @@ object TextOps {
   def corpusSelect(docs: DataFrame, minQuality: Double = 1.1,
                    maxBoiler: Double = 0.05,
                    langs: Seq[String] = Seq("en")): DataFrame = {
-    val keep = keepBest(docs, minhashPairs(docs))
+    // Round 6 (guide §8, decide with small rows): ONE narrow kernel pass
+    // computes the whole per-doc scorecard — quality score, language scores,
+    // minhash signature — and pins the SMALL rows (a few dozen bytes/doc,
+    // never the text). The old composition re-derived the corpus scan +
+    // tokenization separately for the quality, langid and minhash branches
+    // and re-attached pred_lang through an extra corpus-sized join; bands,
+    // keep-best quality, and the language column now all read the pinned
+    // scorecard. Boilerplate keeps its own passes (its exploded-shingle
+    // frame is payload-sized — materializing it would cost more than the
+    // rescans it saves). Identical output (same component expressions, same
+    // join/filter semantics; oracle-checked).
+    val scored0 = docs.select(col("doc_id") +: qualityScoreExpr.as("quality_score") +:
+      minhashSigExpr.as("sig") +:
+      langScoreCols.map { case (n, c) => c.as(n) }: _*)
+    val (pred, _) = predLangFromScores
+    val f1 = scored0.select(col("doc_id"), col("quality_score"),
+        pred.as("pred_lang"), col("sig"))
+      .localCheckpoint()
+    val pairs = pairsOfBands(bandsOfSig(f1.select(col("doc_id"), col("sig"))))
+    val keep = keepBestScored(f1.select(col("doc_id"), col("quality_score")), pairs)
       .withColumnRenamed("keep_id", "doc_id")
       .withColumnRenamed("keep_quality", "quality_score")
-    val lang = langId(docs).select(col("doc_id"), col("pred_lang"))
     val boiler = boilerplate(docs).select(col("doc_id"), col("boiler_ratio"))
-    keep.join(lang, Seq("doc_id"))
+    keep.join(f1.select(col("doc_id"), col("pred_lang")), Seq("doc_id"))
       .join(boiler, Seq("doc_id"))
       .filter(col("quality_score") >= minQuality &&
         (col("boiler_ratio").isNull || col("boiler_ratio") <= maxBoiler) &&

@@ -198,6 +198,29 @@ object GraftTextKernels {
       Array[Long](m, uni.size(), top, math.max(0, m - 1), topB))
   }
 
+  /** All capture groups of the FIRST regex match as array<string> —
+    * group-for-group `regexp_extract` semantics (no match or non-
+    * participating group ⇒ empty string) but ONE matcher pass for every
+    * group, where a query extracting g groups pays g full matches with
+    * per-group `regexp_extract` calls. */
+  def regexpGroups(p: java.util.regex.Pattern, s: UTF8String): ArrayData = {
+    val m = p.matcher(s.toString)
+    val n = m.groupCount()
+    val arr = new Array[Any](n)
+    if (m.find()) {
+      var i = 0
+      while (i < n) {
+        val g = m.group(i + 1)
+        arr(i) = if (g == null) UTF8String.EMPTY_UTF8 else UTF8String.fromString(g)
+        i += 1
+      }
+    } else {
+      var i = 0
+      while (i < n) { arr(i) = UTF8String.EMPTY_UTF8; i += 1 }
+    }
+    new GenericArrayData(arr)
+  }
+
   /** SimHash signature over per-token hashes: bit b of the result is set iff
     * the sum over tokens of ±1 (by bit b of the token hash) is positive.
     * Null on an empty token set.
@@ -303,6 +326,32 @@ object TextExpressions {
     override protected def withNewChildrenInternal(l: Expression, r: Expression): SimhashSig =
       copy(left = l, right = r)
   }
+
+  /** All groups of a (literal) pattern in one matcher pass — see
+    * [[GraftTextKernels.regexpGroups]]. The compiled pattern is per-instance
+    * mutable state (the RegExpExtract caching pattern), so the regex
+    * compiles once per task, not per row. */
+  case class RegexpGroups(left: Expression, right: Expression) extends BinaryExpression {
+    override def dataType: DataType =
+      ArrayType(org.apache.spark.sql.types.StringType, containsNull = false)
+    @transient private lazy val compiled = java.util.regex.Pattern.compile(
+      right.eval(null).asInstanceOf[UTF8String].toString)
+    override protected def nullSafeEval(s: Any, r: Any): Any =
+      Kernels.regexpGroups(compiled, s.asInstanceOf[UTF8String])
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+      val patCls = "java.util.regex.Pattern"
+      val pat = ctx.addMutableState(patCls, "graftRegexpGroupsPattern")
+      nullSafeCodeGen(ctx, ev, (s, r) =>
+        s"""if ($pat == null) { $pat = $patCls.compile($r.toString()); }
+           |${ev.value} = $K.regexpGroups($pat, $s);""".stripMargin)
+    }
+    override protected def withNewChildrenInternal(l: Expression, r: Expression): RegexpGroups =
+      copy(left = l, right = r)
+  }
+
+  def regexp_groups(s: Column, pattern: String): Column =
+    ExpressionUtils.column(RegexpGroups(
+      ExpressionUtils.expression(s), ExpressionUtils.expression(lit(pattern))))
 
   def h32(s: Column): Column =
     ExpressionUtils.column(H32(ExpressionUtils.expression(s)))

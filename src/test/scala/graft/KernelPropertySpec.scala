@@ -83,4 +83,28 @@ class KernelPropertySpec extends AnyFunSuite {
       assert(got === want, s"tokens: $toks")
     }
   }
+
+  test("regexpGroups is group-for-group regexp_extract (first match, '' for misses)") {
+    // the q_asp_index one-pass extraction must agree with java.util.regex's
+    // own per-group answers — including optional groups that did not
+    // participate ('' like regexp_extract) and whole-string non-matches
+    val pat = java.util.regex.Pattern.compile(
+      graft.parse.MetaParsers.Patterns.asp.pattern.pattern())
+    val inputs = Seq(
+      "WV01_20240115_0000000000000042_0000000000000294_3m-dem.tif", // full match
+      "WV02_20240103_0000000000000007_0000000000000049-dem.tif",    // optional res absent
+      "not-a-dem-name.txt",                                         // no match
+      "")                                                           // empty
+    inputs.foreach { s =>
+      val got = GraftTextKernels
+        .regexpGroups(pat, UTF8String.fromString(s))
+      val m = pat.matcher(s)
+      val want: Seq[String] =
+        if (m.find()) (1 to m.groupCount()).map(i => Option(m.group(i)).getOrElse(""))
+        else Seq.fill(m.groupCount())("")
+      assert(got.numElements() === want.size)
+      val gotSeq = (0 until got.numElements()).map(i => got.getUTF8String(i).toString)
+      assert(gotSeq === want, s"input: '$s'")
+    }
+  }
 }
