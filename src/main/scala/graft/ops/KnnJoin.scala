@@ -32,6 +32,10 @@ import graft.cells.Cells
   */
 object KnnJoin {
 
+  /** Pair budget for the up-front self-join brute short-circuit in [[knn]]
+    * (see the comment at its use site — NOT the in-loop bruteThreshold). */
+  val UpfrontBrutePairs = 4000000L
+
   /** Cells with Chebyshev distance in (lo, hi] of the given cell — the slab
     * explored in one round under geometric radius escalation (distinct as a
     * belt-and-braces guard; the radius cap in [[knn]] already prevents
@@ -205,15 +209,21 @@ object KnnJoin {
     val nPts = pts0.count() // materialize once; probed every round
 
     // Up-front brute short-circuit for the SELF-join (round 6): |Q| = |P| is
-    // known from the one count just paid, so when |P|² fits under
-    // bruteThreshold the ring machinery — level sampling, per-round
-    // checkpoints and counts, ~7 sequential driver jobs — costs more than
-    // the single broadcast-brute pass the in-loop short-circuit would reach
-    // anyway. Same exact result (the brute pass IS the oracle's window
-    // form); the 600k-point bench shape (|P|² ≫ threshold) is untouched, as
-    // is the non-self join (|Q| unknown without an extra action). Guarded
-    // against |P|² overflow.
-    if (selfJoin && nPts > 0 && nPts <= bruteThreshold / nPts) {
+    // known from the one count just paid, so for a small-enough |P|² the
+    // ring machinery — level sampling, per-round checkpoints and counts, ~7
+    // sequential driver jobs (~2-3 s of fixed cost) — costs more than the
+    // single broadcast-brute pass. The pair budget here is DELIBERATELY
+    // tighter than the in-loop bruteThreshold: in-loop, a brute pass
+    // competes against MORE ring rounds for an already-shrunken straggler
+    // set (50M pairs beats a round's fixed cost); up-front it competes
+    // against the rings resolving the dense mass cheaply — measured at 5000
+    // self-joined points, a 25M-pair brute aggregate took ~10× the ring
+    // search. ~4M pairs ≈ the rings' fixed driver-job cost. Same exact
+    // result (the brute pass IS the oracle's window form); non-self joins
+    // (|Q| unknown without an extra action) are untouched. Guarded against
+    // |P|² overflow.
+    if (selfJoin && nPts > 0 &&
+        nPts <= math.min(bruteThreshold, UpfrontBrutePairs) / nPts) {
       val brute = broadcast(pts0.select(col("neighbor_id").as("query_id"),
           col("p_lonm").as("q_lonm"), col("p_latm").as("q_latm")))
         .crossJoin(pts0)
@@ -276,21 +286,23 @@ object KnnJoin {
       val boundVal = (r * cellH) * (r * cellH)
       val kk = k
       import spark.implicits._
-      val aggCol = new TopK.TopKAgg(k).toColumn
-      val flagged = cand0.select(
-          struct(col("query_id").as("_1"), col("q_lonm").as("_2"),
-            col("q_latm").as("_3"), col("__qcell").as("_4")).as("q"),
-          struct(col("d2").as("_1"), col("neighbor_id").as("_2")).as("e"))
-        .as[((Long, Long, Long, Long), (Long, Long))]
-        .groupByKey(_._1).mapValues(_._2)
-        .agg(aggCol.name("topk"))
-        .flatMap { case ((qid, qlonm, qlatm, qcell), entries) =>
-          val done = entries.length >= kk && entries.last._1 <= boundVal
-          entries.iterator.zipWithIndex.map { case ((d2v, nid), i) =>
-            (qid, qlonm, qlatm, qcell, nid, d2v, i + 1, done) }
-        }
-        .toDF("query_id", "q_lonm", "q_latm", "__qcell",
-          "neighbor_id", "d2", "rn", "__done")
+      // untyped UDAF binding of the bounded-heap aggregator (round 6, same
+      // move as TopK.topK): the typed groupByKey form paid two AppendColumns
+      // object conversions per candidate row; here rows stay in Tungsten
+      // format and the per-entry ranks + termination flag come from codegen
+      // posexplode/array ops (entries are sorted ascending, so the last
+      // element IS the k-th distance).
+      val topkF = udaf(new TopK.TopKAgg(kk))
+      val flagged = cand0
+        .groupBy("query_id", "q_lonm", "q_latm", "__qcell")
+        .agg(topkF(col("d2"), col("neighbor_id")).as("__topk"))
+        .withColumn("__done", size(col("__topk")) >= kk &&
+          element_at(col("__topk"), size(col("__topk"))).getField("_1") <= boundVal)
+        .select(col("query_id"), col("q_lonm"), col("q_latm"), col("__qcell"),
+          posexplode(col("__topk")), col("__done"))
+        .select(col("query_id"), col("q_lonm"), col("q_latm"), col("__qcell"),
+          col("col._2").as("neighbor_id"), col("col._1").as("d2"),
+          (col("pos") + 1).as("rn"), col("__done"))
         .localCheckpoint() // one job; truncates the per-round lineage
       finishedParts += flagged.filter(col("__done"))
         .select("query_id", "neighbor_id", "d2", "rn")

@@ -73,16 +73,20 @@ object TopK {
     */
   def topK(spark: SparkSession, cands: DataFrame, k: Int): DataFrame = {
     import spark.implicits._
-    val agg = new TopKAgg(k).toColumn
-    cands.select(col("query_id").as[Long],
-        struct(col("d2").as("_1"), col("neighbor_id").as("_2")).as[(Long, Long)])
-      .as[(Long, (Long, Long))]
-      .groupByKey(_._1)
-      .mapValues(_._2)
-      .agg(agg.name("topk"))
-      .flatMap { case (qid, entries) =>
-        entries.zipWithIndex.map { case ((d2, nid), i) => (qid, nid, d2, i + 1) }
-      }
-      .toDF("query_id", "neighbor_id", "d2", "rn")
+    // untyped UDAF binding of the same aggregator (round 6): the previous
+    // typed groupByKey form deserialized every candidate row to Scala tuples
+    // through two AppendColumns lambdas and re-serialized the flatMap output
+    // — pure object-boundary overhead on the hottest aggregation; the UDAF
+    // form keeps rows in Tungsten format end to end and emits ranks with a
+    // codegen posexplode. Identical output (finish() returns the entries
+    // sorted, so pos + 1 IS the row_number).
+    val f = udaf(new TopKAgg(k))
+    cands.groupBy("query_id")
+      .agg(f(col("d2"), col("neighbor_id")).as("__topk"))
+      .select(col("query_id"), posexplode(col("__topk")))
+      .select(col("query_id"),
+        col("col._2").as("neighbor_id"),
+        col("col._1").as("d2"),
+        (col("pos") + 1).as("rn"))
   }
 }
