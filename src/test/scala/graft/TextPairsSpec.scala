@@ -191,4 +191,46 @@ class IncrementalDedupSpec extends SparkSpec {
       "accumulated keep-best must match the full-corpus recompute")
     graft.Session.freeLocalCheckpoint(docs)
   }
+
+  test("jaccardPairs grouped-postings form: df-cut cap drops hot shingles exactly, pairs match a brute reference") {
+    // round 6: the df-cut moved from a count-aggregate + join-back into the
+    // bounded DfCollect buffer — this pins the cap semantics the sf fixtures
+    // never exercise (no shingle there exceeds the default 1000 cut):
+    // a shingle with df > maxShingleDf must contribute NO pairs, one with
+    // df == maxShingleDf must contribute ALL its pairs (complete postings).
+    //   docs 0..5: share hot shingle block H (df=6 > cut=4)
+    //   docs 0..3: also share warm block W (df=4 == cut)
+    //   docs 0,1: additionally share block X (df=2)
+    val h = "h1 h2 h3 h4"              // 2 distinct 3-shingles
+    val w = "w1 w2 w3 w4 w5"           // 3 distinct 3-shingles
+    val x = "x1 x2 x3"                 // 1 shingle
+    val rows = Seq(
+      (0L, s"$h $w $x"), (1L, s"$h $w $x"),
+      (2L, s"$h $w"), (3L, s"$h $w"),
+      (4L, s"$h"), (5L, s"$h"))
+    // separator tokens between blocks would create cross-block shingles —
+    // accepted: the reference below computes from the same texts
+    val d = rows.toDF("doc_id", "text")
+    val got = TextOps.jaccardPairs(d, threshold = 0.0001, maxShingleDf = 4)
+      .as[(Long, Long, Long, Long, Long, Double)].collect()
+      .map(r => (r._1, r._2, r._3)).toSet
+    // brute reference: distinct shingles per doc via the same kernel column,
+    // df computed in Scala, pairs = shared non-cut shingles
+    val sh = d.select(col("doc_id"),
+        array_distinct(TextOps.shingleHashes(col("text"), 3)).as("sh"))
+      .as[(Long, Seq[Long])].collect().toMap
+    val df = sh.values.flatten.groupBy(identity).view.mapValues(_.size).toMap
+    val kept = df.filter { case (_, c) => c >= 2 && c <= 4 }.keySet
+    val ids = sh.keys.toSeq.sorted
+    val want = (for {
+      a <- ids; b <- ids if a < b
+      inter = (sh(a).toSet intersect sh(b).toSet).count(kept)
+      if inter > 0
+    } yield (a, b, inter.toLong)).toSet
+    assert(got === want, s"got $got want $want")
+    // the hot block must be invisible: docs 4,5 contain ONLY cut shingles,
+    // so they appear in no pair at all
+    assert(!got.exists { case (a, b, _) => a >= 4L || b >= 4L })
+    assert(want.nonEmpty)
+  }
 }
