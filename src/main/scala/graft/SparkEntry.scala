@@ -734,15 +734,20 @@ object SparkEntry {
         lit("Output Projection='+proj=longlat +a="), (k % 100).cast("string"), lit(" +b=2'\n"),
         lit("scene 2=SC"), k.cast("string"), lit("_s2.tif\n"),
         lit("Image 1=img2_"), k.cast("string"), lit(".tif"))
+      // two-step select (round 6): the parsed struct is a NON-COLLAPSIBLE
+      // alias, so the parse UDF runs once per row — the single-projection
+      // form planned SEVEN copies of the UDF call (one per extracted field;
+      // plan-level CSE does not merge them, plans/r06/q_strip_meta_parse)
       val sm = graft.parse.MetaParsers.stripMetaUdf(meta)
-      val h = sm.getField("header")
-      val sc = sm.getField("scenes")
-      val al = sm.getField("alignment")
-      o.select(k.as("okey"),
+      val parsed = o.select(k.as("okey"), sm.as("__sm"))
+      val h = col("__sm").getField("header")
+      val sc = col("__sm").getField("scenes")
+      val al = col("__sm").getField("alignment")
+      parsed.select(col("okey"),
         try_element_at(h, lit("s2s_version")).as("s2s_ver"),
         try_element_at(h, lit("Creation Date")).as("cr_date"),
         try_element_at(try_element_at(al,
-          concat(lit("SC"), k.cast("string"), lit("_s1"))), lit(1)).as("align_dz"),
+          concat(lit("SC"), col("okey").cast("string"), lit("_s1"))), lit(1)).as("align_dz"),
         try_element_at(try_element_at(sc, lit(1)), lit("scene_name")).as("scene1_name"),
         try_element_at(try_element_at(sc, lit(1)), lit("Image 1")).as("scene1_img"),
         try_element_at(try_element_at(sc, lit(1)), lit("Output Projection")).as("scene1_proj"),
@@ -975,12 +980,14 @@ object SparkEntry {
         lit("Output Projection='+proj=longlat +a="), (k % 100).cast("string"),
         lit(" +b=2'\n"),
         lit("Creation Date=2024-01-"), lpad((lit(1) + k % 28).cast("string"), 2, "0"))
+      // two-step select: one parse per row (see q_strip_meta_parse)
       val m = graft.parse.MetaParsers.sceneMetaUdf(meta)
-      o.select(k.as("okey"),
-        try_element_at(m, lit("Image 1")).as("image1"),
-        try_element_at(m, lit("Group Version")).as("group_version"),
-        try_element_at(m, lit("Output Projection")).as("out_proj"),
-        try_element_at(m, lit("Creation Date")).as("cr_date"))
+      o.select(k.as("okey"), m.as("__m"))
+        .select(col("okey"),
+          try_element_at(col("__m"), lit("Image 1")).as("image1"),
+          try_element_at(col("__m"), lit("Group Version")).as("group_version"),
+          try_element_at(col("__m"), lit("Output Projection")).as("out_proj"),
+          try_element_at(col("__m"), lit("Creation Date")).as("cr_date"))
     }),
 
     // --- S8 parser differential: nested BEGIN_GROUP/END_GROUP mdf doc
@@ -993,11 +1000,13 @@ object SparkEntry {
         lit("  meanSunEl = "), (k % 90).cast("string"), lit(";\n"),
         lit("END_GROUP = IMAGE_1\n"),
         lit("version = \"28."), (k % 4).cast("string"), lit("\";"))
+      // two-step select: one parse per row (see q_strip_meta_parse)
       val m = graft.parse.MetaParsers.mdfUdf(mdf)
-      o.select(k.as("okey"),
-        try_element_at(m, lit("IMAGE_1_satId")).as("sat_id"),
-        try_element_at(m, lit("IMAGE_1_meanSunEl")).as("mean_sun_el"),
-        try_element_at(m, lit("version")).as("version"))
+      o.select(k.as("okey"), m.as("__m"))
+        .select(col("okey"),
+          try_element_at(col("__m"), lit("IMAGE_1_satId")).as("sat_id"),
+          try_element_at(col("__m"), lit("IMAGE_1_meanSunEl")).as("mean_sun_el"),
+          try_element_at(col("__m"), lit("version")).as("version"))
     }),
 
     // --- S11: from_json record source (schema-typed JSON decode)
@@ -1049,13 +1058,15 @@ object SparkEntry {
     "q_reg_parse" -> ((s, dir) => {
       val o = s.read.parquet(s"$dir/orders.parquet")
       val k = col("o_orderkey")
+      // two-step select: one parse per row (see q_strip_meta_parse)
       val m = graft.parse.MetaParsers.regUdf(regText(k))
-      o.select(k.as("okey"),
-        try_element_at(m, lit("dz")).as("dz"),
-        try_element_at(m, lit("dx")).as("dx"),
-        try_element_at(m, lit("dy")).as("dy"),
-        try_element_at(m, lit("num_gcps")).cast("long").as("num_gcps"),
-        try_element_at(m, lit("mean_resid_z")).as("mean_resid_z"))
+      o.select(k.as("okey"), m.as("__m"))
+        .select(col("okey"),
+          try_element_at(col("__m"), lit("dz")).as("dz"),
+          try_element_at(col("__m"), lit("dx")).as("dx"),
+          try_element_at(col("__m"), lit("dy")).as("dy"),
+          try_element_at(col("__m"), lit("num_gcps")).cast("long").as("num_gcps"),
+          try_element_at(col("__m"), lit("mean_resid_z")).as("mean_resid_z"))
     }),
 
     // --- S9 → geometry: registration APPLY — the parsed translation vector
@@ -1064,17 +1075,24 @@ object SparkEntry {
     "q_reg_apply" -> ((s, dir) => {
       val o = s.read.parquet(s"$dir/orders.parquet")
       val k = col("o_orderkey")
+      // three-step select (round 6): the parse UDF and the shifted-extent
+      // struct are each a non-collapsible alias, so the parser runs once per
+      // row and the extent math once — the single-projection form planned a
+      // UDF copy under every extracted field of every struct reference
       val m = graft.parse.MetaParsers.regUdf(regText(k))
+      val s1 = o.select(k.as("okey"), m.as("__m"))
+      val ok = col("okey")
       val ext = graft.ops.Registration.shiftedExtent(
-        (k % 360).cast("double") - 180.0, (k % 170).cast("double") - 85.0,
-        try_element_at(m, lit("dx")), try_element_at(m, lit("dy")),
-        (lit(1000) + k % 500).cast("double"), (lit(1200) + k % 400).cast("double"),
+        (ok % 360).cast("double") - 180.0, (ok % 170).cast("double") - 85.0,
+        try_element_at(col("__m"), lit("dx")), try_element_at(col("__m"), lit("dy")),
+        (lit(1000) + ok % 500).cast("double"), (lit(1200) + ok % 400).cast("double"),
         lit(2.0), lit(-2.0))
-      o.select(k.as("okey"),
-        ext.getField("minx").as("minx"), ext.getField("miny").as("miny"),
-        ext.getField("maxx").as("maxx"), ext.getField("maxy").as("maxy"),
-        graft.ops.Registration.shiftedZ((lit(100) + k % 50).cast("double"),
-          try_element_at(m, lit("dz"))).as("z_reg"))
+      s1.select(ok, col("__m"), ext.as("__ext"))
+        .select(ok,
+          col("__ext").getField("minx").as("minx"), col("__ext").getField("miny").as("miny"),
+          col("__ext").getField("maxx").as("maxx"), col("__ext").getField("maxy").as("maxy"),
+          graft.ops.Registration.shiftedZ((lit(100) + ok % 50).cast("double"),
+            try_element_at(col("__m"), lit("dz"))).as("z_reg"))
     }),
 
     // --- S10: density cache THROUGH the snapshot layer — first-ever call
