@@ -76,12 +76,19 @@ object Canonical {
     // partitionBy changes no group (rows with equal stripdemid have equal
     // prefix) but lets EnsureRequirements see the stage-1 hash partitioning
     // (on the prefix) as satisfying stages 2/3's clustering, so only the
-    // first window shuffles; the rest re-sort in place. Before: 3 windows =
-    // 2 exchanges of the full strip table.
-    val prefix = expr("substring(stripdemid, 1, length(stripdemid) - 8)")
+    // first window shuffles; the rest re-sort in place. The prefix MUST be
+    // materialized as a column first: a non-attribute partition expression is
+    // extracted into a fresh `_w` projection per Window operator, so three
+    // windows over the raw expression plan three distinct exchanges (no
+    // semantic-equality match across the per-window aliases). Partitioning by
+    // the shared attribute makes HashPartitioning(__nover) satisfy all three
+    // clusterings (subset rule). Before: 3 windows = 2 exchanges of the full
+    // strip table.
+    val s0 = strips.withColumn("__nover",
+      expr("substring(stripdemid, 1, length(stripdemid) - 8)"))
     // stage 1: keep rows of the max stripdemid per version-less prefix
-    val w1 = Window.partitionBy(prefix)
-    val s1 = strips
+    val w1 = Window.partitionBy(col("__nover"))
+    val s1 = s0
       .withColumn("__strip_max", max(col("stripdemid")).over(w1))
       .filter(col("stripdemid") === col("__strip_max"))
       .drop("__strip_max")
@@ -90,16 +97,17 @@ object Canonical {
     // ordering for components < 10000)
     val s2sKey = array_join(
       transform(split(col("s2s_ver"), "\\."), p => lpad(p, 4, "0")), ".")
-    val w2 = Window.partitionBy(prefix, col("stripdemid"))
+    val w2 = Window.partitionBy(col("__nover"), col("stripdemid"))
     val s2 = s1.withColumn("__s2s_key", s2sKey)
       .withColumn("__s2s_max", max(col("__s2s_key")).over(w2))
       .filter(col("__s2s_key") === col("__s2s_max"))
     // stage 3: bool_and(is_lsf) per (stripdemid, s2s_ver): false if any
     // non-LSF exists, keep rows whose is_lsf equals that minimum
-    val w3 = Window.partitionBy(prefix, col("stripdemid"), col("s2s_ver"))
+    val w3 = Window.partitionBy(
+      col("__nover"), col("stripdemid"), col("s2s_ver"))
     s2.withColumn("__min_lsf", min(col("is_lsf").cast("int")).over(w3))
       .filter(col("is_lsf").cast("int") === col("__min_lsf"))
-      .drop("__s2s_key", "__s2s_max", "__min_lsf")
+      .drop("__nover", "__s2s_key", "__s2s_max", "__min_lsf")
   }
 
   /** J6 + U2 — strip_dem_all
